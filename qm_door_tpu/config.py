@@ -1,0 +1,178 @@
+"""Typed configuration tree — single source for every knob of the stack.
+
+Mirrors the reference's three config tiers (task.info / reference.info /
+gait.info parsed with boost ptree, ROS params, dynamic_reconfigure gains —
+see SURVEY.md §5) as plain dataclasses. Default values reproduce
+qm_controllers/config/task.info, reference.info and the dynamic_reconfigure
+defaults (qm_wbc/cfg/wbcWigeht.cfg) verbatim.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class SqpSettings:
+    dt: float = 0.015
+    sqp_iterations: int = 1
+    delta_tol: float = 1e-4
+    g_max: float = 1e-2
+    g_min: float = 1e-6
+    inequality_mu: float = 0.1         # relaxed-barrier mu (friction cone)
+    inequality_delta: float = 5.0      # relaxed-barrier delta
+    project_equalities: bool = True
+    integrator: str = "rk2"
+    # linesearch
+    min_step: float = 1e-2
+    max_step: float = 1.0
+    armijo_factor: float = 1e-4
+    step_reduction: float = 0.5
+    # Levenberg-style diagonal shift applied when the projected Hessian
+    # loses positive-definiteness (OCS2 hessianCorrection DIAGONAL_SHIFT).
+    hessian_shift: float = 1e-5
+
+
+@dataclass
+class MpcSettings:
+    time_horizon: float = 1.0
+    mpc_frequency: float = 100.0
+    mrt_frequency: float = 1000.0
+    cold_start: bool = False
+
+
+@dataclass
+class SwingSettings:
+    lift_off_velocity: float = 0.05
+    touch_down_velocity: float = -0.1
+    swing_height: float = 0.15
+    touchdown_after_horizon: float = 0.2
+    swing_time_scale: float = 0.15
+
+
+@dataclass
+class CostSettings:
+    # Q diagonal (30), task.info "Q" with scaling 1e0.
+    q_diag: np.ndarray = field(
+        default_factory=lambda: np.array(
+            [50.0, 50.0, 300.0, 10.0, 30.0, 30.0]          # normalized momentum
+            + [1000.0, 1000.0, 3000.0, 1000.0, 2000.0, 2000.0]  # base pose
+            + [5.0, 5.0, 2.5] * 4                          # leg joints
+            + [0.0, 0.0, 5.0, 0.0, 0.0, 0.0]               # arm joints
+        )
+    )
+    # R diagonal in task space (30), task.info "R" with scaling 1e-3; the
+    # (12:24) block is foot-velocity weight mapped through the base->feet
+    # Jacobian at the nominal configuration (QMInterface.cpp:274-299).
+    r_scaling: float = 1e-3
+    r_forces: float = 5.0
+    r_foot_velocity: float = 5000.0
+    r_arm_velocity: float = 1000.0
+    # end-effector soft constraint penalties (task.info endEffector)
+    ee_mu_position: float = 2000.0
+    ee_mu_orientation: float = 1000.0
+    final_ee_mu_position: float = 2000.0
+    final_ee_mu_orientation: float = 1000.0
+
+
+@dataclass
+class FrictionSettings:
+    friction_coefficient: float = 0.7
+    barrier_mu: float = 0.1
+    barrier_delta: float = 5.0
+    cone_regularization: float = 25.0
+
+
+@dataclass
+class JointLimitSettings:
+    position_mu: float = 0.1
+    position_delta: float = 1e-3
+    velocity_mu: float = 0.1
+    velocity_delta: float = 1e-3
+    arm_velocity_lower: np.ndarray = field(
+        default_factory=lambda: -np.array([0.628, 0.628, 0.628, 0.837, 0.837, 0.837])
+    )
+    arm_velocity_upper: np.ndarray = field(
+        default_factory=lambda: np.array([0.628, 0.628, 0.628, 0.837, 0.837, 0.837])
+    )
+
+
+@dataclass
+class ModelSettings:
+    position_error_gain: float = 0.0
+    phase_transition_stance_time: float = 0.1
+
+
+@dataclass
+class WbcSettings:
+    friction_coefficient: float = 0.3  # task.info frictionConeTask
+    # dynamic_reconfigure defaults (qm_wbc/cfg/wbcWigeht.cfg)
+    swing_kp: float = 350.0
+    swing_kd: float = 37.0
+    base_height_kp: float = 400.0
+    base_height_kd: float = 140.0
+    base_linear_kp: float = 400.0
+    base_linear_kd: float = 100.0
+    base_angular_kp: float = 400.0
+    base_angular_kd: float = 140.0
+    arm_joint_kp: np.ndarray = field(
+        default_factory=lambda: np.array([4000.0, 4200.0, 4000.0, 4000.0, 4200.0, 6000.0])
+    )
+    arm_joint_kd: np.ndarray = field(default_factory=lambda: np.full(6, 75.0))
+    ee_linear_kp: np.ndarray = field(default_factory=lambda: np.full(3, 3000.0))
+    ee_linear_kd: np.ndarray = field(default_factory=lambda: np.full(3, 75.0))
+    ee_angular_kp: np.ndarray = field(default_factory=lambda: np.full(3, 2000.0))
+    ee_angular_kd: np.ndarray = field(default_factory=lambda: np.full(3, 75.0))
+    swing_task_weight: float = 100.0
+    arm_init_time: float = 10.0  # HierarchicalWbc switches taskInit->task1 at t=10
+    # dense-QP solver
+    qp_iterations: int = 20
+
+
+@dataclass
+class ReferenceSettings:
+    target_displacement_velocity: float = 0.2
+    target_rotation_velocity: float = 0.1
+    com_height: float = 0.4
+    default_joint_state: np.ndarray = field(
+        default_factory=lambda: np.array(
+            [0.0, 0.8, -1.5] * 4 + [0.0, 1.11, -0.69, -0.40, 0.0, 0.0]
+        )
+    )
+
+
+@dataclass
+class ControllerSettings:
+    # PD+ff command law (QMController::updateControlLaw)
+    leg_kp: float = 0.0
+    leg_kd: float = 3.0
+    arm_kp: float = 150.0   # qm_controllers/cfg/weight.cfg defaults
+    arm_kd: float = 5.0
+    leg_pd_start_time: float = 10.0  # legs use pure feedforward until t>10
+    safety_tilt_limit: float = float(np.pi / 2)
+
+
+@dataclass
+class QmConfig:
+    sqp: SqpSettings = field(default_factory=SqpSettings)
+    mpc: MpcSettings = field(default_factory=MpcSettings)
+    swing: SwingSettings = field(default_factory=SwingSettings)
+    cost: CostSettings = field(default_factory=CostSettings)
+    friction: FrictionSettings = field(default_factory=FrictionSettings)
+    joint_limits: JointLimitSettings = field(default_factory=JointLimitSettings)
+    model: ModelSettings = field(default_factory=ModelSettings)
+    wbc: WbcSettings = field(default_factory=WbcSettings)
+    reference: ReferenceSettings = field(default_factory=ReferenceSettings)
+    controller: ControllerSettings = field(default_factory=ControllerSettings)
+
+    def initial_state(self) -> np.ndarray:
+        """task.info initialState (30)."""
+        x = np.zeros(30)
+        x[8] = 0.4
+        x[12:30] = self.reference.default_joint_state
+        return x
+
+
+def default_config() -> QmConfig:
+    return QmConfig()

@@ -1,0 +1,134 @@
+"""Rigid-body dynamics quantities (pure JAX, single-sample; vmap to batch).
+
+Replaces pinocchio crba / nonLinearEffects / computeCentroidalMap(ccrba) /
+dccrba as used by the reference WBC and the OCS2 centroidal model
+(qm_wbc/src/WbcBase.cpp:160-237, ocs2_centroidal_model ModelHelperFunctions).
+
+Formulation notes (chosen for XLA/MXU friendliness instead of the recursive
+CPU-style algorithms):
+
+- Mass matrix from the kinetic-energy identity
+      M(q) = sum_i [ m_i Jc_i^T Jc_i + Jw_i^T I_i^w Jw_i ]
+  over all 19 lumped bodies, where Jc_i/Jw_i are world-aligned com-point
+  Jacobians. This is a batch of small matmuls — exactly what the MXU wants —
+  and is exact in any generalized-coordinate chart.
+- Nonlinear effects from the Lagrangian identity
+      h(q, v) = Mdot v - d/dq (1/2 v^T M v) + g(q)
+  computed with jvp/grad instead of a hand-written RNEA.
+- Centroidal momentum matrix (CMM) about the robot com, world axes:
+      A_lin = sum_i m_i Jc_i,
+      A_ang = sum_i [ I_i^w Jw_i + m_i skew(c_i - c) Jc_i ]
+  (Orin/Wensing construction); Adot via jvp.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import spatial
+from .kinematics import fk, joint_world_axes, point_jacobian
+from .model import RobotModel, GRAVITY
+
+
+def body_com_kinematics(model: RobotModel, q):
+    """World com positions (19,3), world inertias about com (19,3,3),
+    and com-point Jacobians (19,6,24)."""
+    axes, origins, (R, p) = joint_world_axes(model, q)
+    coms = jnp.einsum("bij,bj->bi", R, model.body_com) + p
+    Iw = jnp.einsum("bij,bjk,blk->bil", R, model.body_inertia, R)
+    Js = []
+    for b in range(model.nj + 1):
+        Js.append(point_jacobian(model, q, b, coms[b], (axes, origins)))
+    return coms, Iw, jnp.stack(Js)
+
+
+@jax.jit
+def mass_matrix(model: RobotModel, q):
+    """24x24 joint-space mass matrix (crba equivalent, exact)."""
+    coms, Iw, J = body_com_kinematics(model, q)
+    Jlin, Jang = J[:, :3, :], J[:, 3:, :]
+    m = model.body_mass[:, None, None]
+    M = jnp.einsum("bki,bkj->ij", Jlin * m, Jlin) + jnp.einsum(
+        "bki,bkl,blj->ij", Jang, Iw, Jang
+    )
+    return 0.5 * (M + M.T)
+
+
+@jax.jit
+def potential_energy(model: RobotModel, q):
+    R, p = fk(model, q)
+    coms = jnp.einsum("bij,bj->bi", R, model.body_com) + p
+    return GRAVITY * jnp.sum(model.body_mass * coms[:, 2])
+
+
+@jax.jit
+def gravity_vector(model: RobotModel, q):
+    return jax.grad(partial(potential_energy, model))(q)
+
+
+@jax.jit
+def nonlinear_effects(model: RobotModel, q, v):
+    """h(q,v) = C(q,v)v + g(q)  (pinocchio nonLinearEffects equivalent)."""
+    Mfun = partial(mass_matrix, model)
+    M, Mdot = jax.jvp(Mfun, (q,), (v,))
+    kinetic_grad = jax.grad(lambda qq: 0.5 * v @ mass_matrix(model, qq) @ v)(q)
+    return Mdot @ v - kinetic_grad + gravity_vector(model, q)
+
+
+@jax.jit
+def com_position(model: RobotModel, q):
+    R, p = fk(model, q)
+    coms = jnp.einsum("bij,bj->bi", R, model.body_com) + p
+    return jnp.sum(model.body_mass[:, None] * coms, axis=0) / jnp.sum(model.body_mass)
+
+
+@jax.jit
+def centroidal_momentum_matrix(model: RobotModel, q):
+    """6x24 CMM A(q): h = A v with h = [linear momentum; angular momentum about com],
+    world axes (pinocchio ccrba / computeCentroidalMap equivalent)."""
+    coms, Iw, J = body_com_kinematics(model, q)
+    Jlin, Jang = J[:, :3, :], J[:, 3:, :]
+    m = model.body_mass
+    c = jnp.sum(m[:, None] * coms, axis=0) / jnp.sum(m)
+    A_lin = jnp.einsum("b,bij->ij", m, Jlin)
+    A_ang = jnp.einsum("bij,bjk->ik", Iw, Jang) + jnp.einsum(
+        "b,bij,bjk->ik", m, spatial.skew(coms - c), Jlin
+    )
+    return jnp.concatenate([A_lin, A_ang], axis=0)
+
+
+@jax.jit
+def centroidal_momentum_matrix_dot(model: RobotModel, q, v):
+    """dA/dt along qdot = v (pinocchio dccrba equivalent)."""
+    _, Adot = jax.jvp(partial(centroidal_momentum_matrix, model), (q,), (v,))
+    return Adot
+
+
+@jax.jit
+def centroidal_momentum(model: RobotModel, q, v):
+    return centroidal_momentum_matrix(model, q) @ v
+
+
+@jax.jit
+def kinetic_energy(model: RobotModel, q, v):
+    return 0.5 * v @ mass_matrix(model, q) @ v
+
+
+@jax.jit
+def inverse_dynamics(model: RobotModel, q, v, a):
+    """tau = M(q) a + h(q, v) — generalized forces for a given acceleration."""
+    return mass_matrix(model, q) @ a + nonlinear_effects(model, q, v)
+
+
+@jax.jit
+def forward_dynamics(model: RobotModel, q, v, tau_gen):
+    """a = M^{-1}(tau_gen - h): unconstrained forward dynamics.
+
+    ``tau_gen`` is the full 24-dim generalized force (base wrench rows included;
+    contact forces must already be mapped through J^T by the caller).
+    """
+    M = mass_matrix(model, q)
+    h = nonlinear_effects(model, q, v)
+    return jnp.linalg.solve(M, tau_gen - h)

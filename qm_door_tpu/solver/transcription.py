@@ -1,0 +1,233 @@
+"""Multiple-shooting transcription: linearization + equality projection.
+
+Replaces ocs2_sqp's per-node LQ approximation assembly (RK2 sensitivity
+discretization, projection of state-input equality constraints; settings
+task.info sqp { dt 0.015, integratorType RK2,
+projectStateInputEqualityConstraints true }).
+
+TPU-first encoding of the projection: the reference's per-node QR on a
+variable-row constraint matrix becomes a fixed-shape masked computation:
+
+- zero-force rows are eliminated analytically (swing-foot force deltas are
+  pinned to -F_bar, stance forces stay free);
+- the 12 masked foot-velocity rows are projected with a QR of the permuted
+  (active-rows-first) Jacobian w.r.t. joint velocities; the null-space basis
+  is padded to a fixed 14 columns with a column mask derived from the contact
+  count, and padded reduced-input dims are regularized to identity so the
+  Riccati recursion stays well-posed with static shapes.
+
+Reduced input dim: 12 (masked stance forces) + 14 (padded null space) = 26.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models import centroidal
+from ..models.model import RobotModel
+from ..ocp import constraints as cons
+from ..ocp.problem import (
+    OcpConfig,
+    StageData,
+    quadratize_stage,
+    quadratize_terminal,
+)
+
+NX = 30
+NU = 30
+NU_RED = 26  # 12 forces + 14 padded null-space coords
+NV_JOINTS = 18
+NC_ROWS = 12  # masked foot-velocity rows
+
+
+def rk2_step(model: RobotModel, x, u, dt):
+    """Heun / explicit midpoint (OCS2 SensitivityIntegrator RK2): input held
+    constant over the interval."""
+    k1 = centroidal.flow_map(model, x, u)
+    k2 = centroidal.flow_map(model, x + dt * k1, u)
+    return x + 0.5 * dt * (k1 + k2)
+
+
+@struct.dataclass
+class LqProblem:
+    """Per-node LQ data in the full (dx, du) space. Leading dim N (intervals)
+    for dynamics/cost, N+1 handled by terminal terms."""
+
+    A: jnp.ndarray     # (N, 30, 30)
+    B: jnp.ndarray     # (N, 30, 30)
+    d: jnp.ndarray     # (N, 30) defects  Phi(x_k,u_k) - x_{k+1}
+    lx: jnp.ndarray    # (N, 30)   dt-scaled
+    lu: jnp.ndarray    # (N, 30)
+    lxx: jnp.ndarray   # (N, 30, 30)
+    luu: jnp.ndarray   # (N, 30, 30)
+    lux: jnp.ndarray   # (N, 30, 30)
+    cost: jnp.ndarray  # () total cost of the current iterate
+    # constraint data (nodes 0..N-1)
+    g0: jnp.ndarray    # (N, 12) masked velocity-constraint values
+    Gx: jnp.ndarray    # (N, 12, 30)
+    Gv: jnp.ndarray    # (N, 12, 18)
+    # terminal
+    lx_f: jnp.ndarray  # (30,)
+    lxx_f: jnp.ndarray # (30, 30)
+
+
+@struct.dataclass
+class ProjectedLq:
+    """LQ data in the reduced input space, ready for Riccati."""
+
+    A: jnp.ndarray     # (N, 30, 30)  A + B Px
+    B: jnp.ndarray     # (N, 30, 26)  B Pu
+    d: jnp.ndarray     # (N, 30)      d + B p
+    lx: jnp.ndarray
+    lu: jnp.ndarray    # (N, 26)
+    lxx: jnp.ndarray
+    luu: jnp.ndarray   # (N, 26, 26)
+    lux: jnp.ndarray   # (N, 26, 30)
+    lx_f: jnp.ndarray
+    lxx_f: jnp.ndarray
+    # input recovery: du = p + Pu u_red + Px dx
+    p: jnp.ndarray     # (N, 30)
+    Pu: jnp.ndarray    # (N, 30, 26)
+    Px: jnp.ndarray    # (N, 30, 30)
+
+
+def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_next):
+    """All per-node quantities (vmapped over k)."""
+    step = partial(rk2_step, model, dt=dt)
+    xn = step(x, u)
+    A = jax.jacfwd(step, argnums=0)(x, u)
+    B = jax.jacfwd(step, argnums=1)(x, u)
+    d = xn - x_next
+
+    l, lx, lu, lxx, luu, lux = quadratize_stage(model, ocp, stage, k, x, u)
+
+    g0, Gx, Gv = cons.velocity_constraint_linearization(
+        model, x, u, stage.contact_flags[k], stage.z_vel_ref[k]
+    )
+    return A, B, d, dt * l, dt * lx, dt * lu, dt * lxx, dt * luu, dt * lux, g0, Gx, Gv
+
+
+def linearize_ocp(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, X, U) -> LqProblem:
+    """Vectorized linearization of dynamics/cost/constraints along (X, U).
+
+    X: (N+1, 30), U: (N, 30).
+    """
+    N = U.shape[0]
+    ks = jnp.arange(N)
+    fn = partial(_node_linearization, model, ocp, stage, dt)
+    A, B, d, l, lx, lu, lxx, luu, lux, g0, Gx, Gv = jax.vmap(fn)(
+        ks, X[:-1], U, X[1:]
+    )
+    lf, lx_f, lxx_f = quadratize_terminal(model, ocp, stage, X[-1])
+    return LqProblem(
+        A=A, B=B, d=d, lx=lx, lu=lu, lxx=lxx, luu=luu, lux=lux,
+        cost=jnp.sum(l) + lf,
+        g0=g0, Gx=Gx, Gv=Gv, lx_f=lx_f, lxx_f=lxx_f,
+    )
+
+
+def _row_permutation(flags):
+    """Permutation putting active velocity rows first (stable).
+
+    Row activity: stance foot -> (1,1,1); swing foot -> (0,0,1).
+    Returns (perm (12,), r) with r = number of active rows = 2c + 4.
+    """
+    activity = cons.velocity_row_mask(flags)  # (12,)
+    perm = jnp.argsort(-activity, stable=True)
+    r = jnp.sum(activity).astype(jnp.int32)
+    return perm, activity, r
+
+
+def _project_node(flags, F_bar, g0, Gx, Gv, shift):
+    """Build the affine reduced-input parametrization for one node.
+
+    du = p + Pu u_red + Px dx,  u_red = [dF_tilde(12); w(14)].
+    """
+    dtype = g0.dtype
+    perm, activity, r = _row_permutation(flags)
+    g0p = g0[perm]
+    Gxp = Gx[perm]
+    Gvp = Gv[perm]
+
+    # QR of Gv_perm^T (18 x 12): Gv = R^T Q^T.
+    Q, R = jnp.linalg.qr(Gvp.T, mode="complete")  # Q (18,18), R (18,12)
+    Rtop = R[:NC_ROWS, :]  # (12,12) upper triangular; cols >= r are zero
+
+    # Padded triangular solve: R^T y = rhs with unit diagonal on inactive rows.
+    row_idx = jnp.arange(NC_ROWS)
+    active_row = row_idx < r
+    diag_fix = jnp.where(active_row, 0.0, 1.0)
+    Rsafe = Rtop + jnp.diag(diag_fix).astype(dtype)
+
+    def pinv_apply(rhs):
+        # rhs (12, ...) masked so inactive entries are zero.
+        y = jax.scipy.linalg.solve_triangular(Rsafe.T, rhs, lower=True)
+        return Q[:, :NC_ROWS] @ y  # (18, ...)
+
+    du_part = -pinv_apply(g0p)                 # (18,)
+    Px_v = -pinv_apply(Gxp)                    # (18, 30)
+
+    # Null-space basis: columns r .. r+13 of Q, masked by j < 18 - r.
+    cols = jnp.clip(r + jnp.arange(14), 0, 17)
+    w_mask = (jnp.arange(14) < (NV_JOINTS - r)).astype(dtype)
+    Nbasis = Q[:, cols] * w_mask[None, :]      # (18, 14)
+
+    # Force elimination: stance dims free, swing dims pinned to -F_bar.
+    force_mask = jnp.repeat(flags, 3)          # (12,) 1 = stance
+    p_F = -(1.0 - force_mask) * F_bar
+    PuF = jnp.diag(force_mask).astype(dtype)   # (12,12)
+
+    p = jnp.concatenate([p_F, du_part])
+    Pu = jnp.zeros((NU, NU_RED), dtype=dtype)
+    Pu = Pu.at[0:12, 0:12].set(PuF)
+    Pu = Pu.at[12:30, 12:26].set(Nbasis)
+    Px = jnp.zeros((NU, NX), dtype=dtype)
+    Px = Px.at[12:30, :].set(Px_v)
+
+    # Regularization mask for padded reduced dims (swing forces, padded w).
+    red_mask = jnp.concatenate([force_mask, w_mask])
+    reg = jnp.diag(1.0 - red_mask) + shift * jnp.eye(NU_RED, dtype=dtype)
+    return p, Pu, Px, reg
+
+
+def project_ocp(lq: LqProblem, stage: StageData, U, shift=1e-5) -> ProjectedLq:
+    """Apply force elimination + velocity-constraint projection to the LQ data."""
+    F_bar = U[:, 0:12]
+    p, Pu, Px, reg = jax.vmap(partial(_project_node, shift=shift))(
+        stage.contact_flags[: U.shape[0]], F_bar, lq.g0, lq.Gx, lq.Gv
+    )
+
+    A_bar = lq.A + lq.B @ Px
+    B_bar = lq.B @ Pu
+    d_bar = lq.d + jnp.einsum("kij,kj->ki", lq.B, p)
+
+    # Cost substitution du = p + Pu u + Px dx into
+    #   1/2 dx'lxx dx + 1/2 du'luu du + du'lux dx + lx'dx + lu'du :
+    lu_p = lq.lu + jnp.einsum("kij,kj->ki", lq.luu, p)          # lu + luu p
+    lx_bar = (
+        lq.lx
+        + jnp.einsum("kui,ku->ki", Px, lu_p)                     # Px^T (lu + luu p)
+        + jnp.einsum("kui,ku->ki", lq.lux, p)                    # lux^T p
+    )
+    lu_bar = jnp.einsum("kui,ku->ki", Pu, lu_p)
+    PxT_lux = jnp.einsum("kui,kux->kix", Px, lq.lux)             # Px^T lux
+    lxx_bar = (
+        lq.lxx
+        + PxT_lux
+        + PxT_lux.transpose(0, 2, 1)
+        + jnp.einsum("kui,kuv,kvx->kix", Px, lq.luu, Px)
+    )
+    luu_bar = jnp.einsum("kui,kuv,kvj->kij", Pu, lq.luu, Pu) + reg
+    lux_bar = jnp.einsum("kui,kux->kix", Pu, lq.lux) + jnp.einsum(
+        "kui,kuv,kvx->kix", Pu, lq.luu, Px
+    )
+
+    return ProjectedLq(
+        A=A_bar, B=B_bar, d=d_bar,
+        lx=lx_bar, lu=lu_bar, lxx=lxx_bar, luu=luu_bar, lux=lux_bar,
+        lx_f=lq.lx_f, lxx_f=lq.lxx_f,
+        p=p, Pu=Pu, Px=Px,
+    )

@@ -1,0 +1,47 @@
+"""Test configuration: CPU backend with 8 virtual devices (for sharding tests)
+and float64 enabled (model-core numerics are validated at f64; the TPU
+production path runs f32/bf16)."""
+import os
+
+# Force CPU: the ambient environment points JAX_PLATFORMS at the tunneled TPU,
+# which is reserved for bench runs; unit tests validate numerics on CPU at f64.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+# The environment's sitecustomize imports jax and pins JAX_PLATFORMS=axon at
+# interpreter start, so the env var alone is not enough — override the config.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the model-core jit graphs are deep (nested AD over
+# unrolled kinematics); caching keeps repeated test runs fast.
+os.makedirs("/tmp/qm_tpu_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/qm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def model():
+    from qm_door_tpu.models import aliengo_z1
+
+    return aliengo_z1()
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_q(rng, scale=0.5):
+    q = rng.normal(size=24) * scale
+    return q
+
+
+def random_v(rng, scale=1.0):
+    return rng.normal(size=24) * scale

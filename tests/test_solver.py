@@ -1,0 +1,173 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qm_door_tpu.config import default_config
+from qm_door_tpu.ocp.gait import GaitSchedule, GAIT_LIBRARY
+from qm_door_tpu.ocp.problem import build_stage_data, make_ocp_config
+from qm_door_tpu.ocp.reference import TargetTrajectories
+from qm_door_tpu.solver.riccati import lqr_solve, riccati_backward, riccati_forward
+from qm_door_tpu.solver.transcription import ProjectedLq, linearize_ocp, project_ocp
+from qm_door_tpu.solver import sqp as sqp_mod
+
+
+def _random_lq(rng, N=6, nx=4, nu=3):
+    def psd(n, scale=1.0):
+        A = rng.normal(size=(n, n))
+        return scale * (A @ A.T + n * np.eye(n))
+
+    A = rng.normal(size=(N, nx, nx)) * 0.3 + np.eye(nx)
+    B = rng.normal(size=(N, nx, nu))
+    d = rng.normal(size=(N, nx)) * 0.1
+    lxx = np.stack([psd(nx) for _ in range(N)])
+    luu = np.stack([psd(nu) for _ in range(N)])
+    lux = rng.normal(size=(N, nu, nx)) * 0.1
+    lx = rng.normal(size=(N, nx))
+    lu = rng.normal(size=(N, nu))
+    lxx_f = psd(nx)
+    lx_f = rng.normal(size=nx)
+    return ProjectedLq(
+        A=jnp.asarray(A), B=jnp.asarray(B), d=jnp.asarray(d),
+        lx=jnp.asarray(lx), lu=jnp.asarray(lu),
+        lxx=jnp.asarray(lxx), luu=jnp.asarray(luu), lux=jnp.asarray(lux),
+        lx_f=jnp.asarray(lx_f), lxx_f=jnp.asarray(lxx_f),
+        p=jnp.zeros((N, nx, )) * 0,  # unused in this test
+        Pu=jnp.zeros((N, nx, nu)), Px=jnp.zeros((N, nx, nx)),
+    )
+
+
+def _dense_lq_solve(lq, dx0):
+    """Reference: solve the same LQ problem as one dense equality-constrained QP."""
+    N, nx, nu = lq.A.shape[0], lq.A.shape[1], lq.B.shape[2]
+    nz = (N + 1) * nx + N * nu  # [dx_0..dx_N, du_0..du_{N-1}]
+    H = np.zeros((nz, nz))
+    g = np.zeros(nz)
+
+    def xi(k):
+        return slice(k * nx, (k + 1) * nx)
+
+    def ui(k):
+        return slice((N + 1) * nx + k * nu, (N + 1) * nx + (k + 1) * nu)
+
+    for k in range(N):
+        H[xi(k), xi(k)] += np.asarray(lq.lxx[k])
+        H[ui(k), ui(k)] += np.asarray(lq.luu[k])
+        H[ui(k), xi(k)] += np.asarray(lq.lux[k])
+        H[xi(k), ui(k)] += np.asarray(lq.lux[k]).T
+        g[xi(k)] += np.asarray(lq.lx[k])
+        g[ui(k)] += np.asarray(lq.lu[k])
+    H[xi(N), xi(N)] += np.asarray(lq.lxx_f)
+    g[xi(N)] += np.asarray(lq.lx_f)
+
+    # constraints: dx_0 = dx0; dx_{k+1} = A dx_k + B du_k + d
+    nc = (N + 1) * nx
+    C = np.zeros((nc, nz))
+    b = np.zeros(nc)
+    C[0:nx, xi(0)] = np.eye(nx)
+    b[0:nx] = np.asarray(dx0)
+    for k in range(N):
+        rows = slice((k + 1) * nx, (k + 2) * nx)
+        C[rows, xi(k + 1)] = -np.eye(nx)
+        C[rows, xi(k)] = np.asarray(lq.A[k])
+        C[rows, ui(k)] = np.asarray(lq.B[k])
+        b[rows] = -np.asarray(lq.d[k])
+
+    KKT = np.block([[H, C.T], [C, np.zeros((nc, nc))]])
+    rhs = np.concatenate([-g, b])
+    sol = np.linalg.solve(KKT, rhs)
+    dX = sol[: (N + 1) * nx].reshape(N + 1, nx)
+    dU = sol[(N + 1) * nx : nz].reshape(N, nu)
+    return dX, dU
+
+
+def test_riccati_matches_dense_kkt(rng):
+    lq = _random_lq(rng)
+    dx0 = jnp.asarray(rng.normal(size=4))
+    K, kff, _, _ = riccati_backward(lq)
+    dX, dU_red, _ = riccati_forward(lq, K, kff, dx0)
+    dX_ref, dU_ref = _dense_lq_solve(lq, dx0)
+    np.testing.assert_allclose(dX, dX_ref, atol=1e-8)
+    np.testing.assert_allclose(dU_red, dU_ref, atol=1e-8)
+
+
+@pytest.fixture(scope="module")
+def mpc_setup():
+    from qm_door_tpu.models import aliengo_z1
+
+    model = aliengo_z1()
+    cfg = default_config()
+    ocp = make_ocp_config(model, cfg)
+    solver = sqp_mod.SqpSolver(model, ocp, cfg)
+
+    x0 = jnp.asarray(cfg.initial_state())
+    from qm_door_tpu.models import kinematics, spatial
+
+    R_ee, p_ee = kinematics.ee_pose(model, x0[6:30])
+    quat = spatial.rot_to_quat(R_ee)
+    target_state = jnp.concatenate([x0, p_ee, quat])
+    targets = TargetTrajectories.create(
+        jnp.array([0.0, 1e5]), jnp.stack([target_state, target_state]),
+        jnp.zeros((2, 30)),
+    )
+    return model, cfg, ocp, solver, x0, targets
+
+
+def test_projection_satisfies_constraints(mpc_setup, rng):
+    """After projection, recovered du must satisfy the linearized equalities
+    for any reduced input and any dx."""
+    model, cfg, ocp, solver, x0, targets = mpc_setup
+    sched = GaitSchedule()
+    sched.insert_template(GAIT_LIBRARY["trot"], 0.0, 3.0)
+    stage = build_stage_data(model, cfg, sched, targets, 0.0)
+    N = solver.n_intervals
+    X, U = solver.cold_start(stage, x0)
+    lq = linearize_ocp(model, ocp, stage, cfg.sqp.dt, X, U)
+    plq = project_ocp(lq, stage, U)
+
+    for k in [0, 10, 33]:
+        dx = jnp.asarray(rng.normal(size=30) * 0.01)
+        u_red = jnp.asarray(rng.normal(size=26))
+        du = plq.p[k] + plq.Pu[k] @ u_red + plq.Px[k] @ dx
+        # linearized velocity rows: g0 + Gx dx + Gv du_j == 0 (masked rows)
+        resid = lq.g0[k] + lq.Gx[k] @ dx + lq.Gv[k] @ du[12:30]
+        np.testing.assert_allclose(resid, 0.0, atol=1e-8)
+        # swing forces pinned to -F_bar (new F = 0)
+        flags = np.asarray(stage.contact_flags[k])
+        swing = np.repeat(flags == 0, 3)
+        np.testing.assert_allclose(
+            np.asarray(U[k, :12] + du[:12])[swing], 0.0, atol=1e-10
+        )
+
+
+def test_mpc_stance_hold(mpc_setup):
+    """Stance MPC from the nominal state with a hold target: solution stays
+    near the initial state and uses ~weight-compensating forces."""
+    model, cfg, ocp, solver, x0, targets = mpc_setup
+    sched = GaitSchedule()  # stance forever
+    stage = build_stage_data(model, cfg, sched, targets, 0.0)
+    sol = solver.solve(stage, x0)
+    assert np.isfinite(float(sol.cost))
+    assert float(sol.step_size) > 0.0
+    # states remain near x0
+    assert float(jnp.max(jnp.abs(sol.X[:, 6:12] - x0[6:12]))) < 0.05
+    # vertical forces sum to ~weight
+    m = float(jnp.sum(model.body_mass)) * 9.81
+    fz = np.asarray(sol.U[:, 2:12:3]).sum(axis=1)
+    np.testing.assert_allclose(fz, m, rtol=0.2)
+    assert float(sol.constraint_violation) < 1e-3
+
+
+def test_mpc_trot_solves(mpc_setup):
+    model, cfg, ocp, solver, x0, targets = mpc_setup
+    sched = GaitSchedule()
+    sched.insert_template(GAIT_LIBRARY["trot"], 0.0, 3.0)
+    stage = build_stage_data(model, cfg, sched, targets, 0.0)
+    sol = solver.solve(stage, x0)
+    assert np.isfinite(float(sol.cost))
+    assert float(sol.step_size) > 0.0
+    # swing feet carry no force at nodes where they are in swing
+    flags = np.asarray(stage.contact_flags[:-1])
+    F = np.asarray(sol.U[:, :12]).reshape(-1, 4, 3)
+    swing_F = F[flags == 0]
+    np.testing.assert_allclose(swing_F, 0.0, atol=1e-6)
