@@ -1,0 +1,115 @@
+"""Hierarchical QP cascade (HoQp replacement, Bellicoso et al. 2016).
+
+Mirrors qm_wbc/src/HoQp.cpp semantics with TPU-friendly fixed shapes:
+
+- each priority level solves
+    min_{z,v} ||A_l (x_prev + Z z) - b_l||^2 + ||v||^2
+    s.t. D_i (x_prev + Z z) <= f_i + v_i*   (all higher levels i)
+         D_l (x_prev + Z z) <= f_l + v,  v >= 0
+- the next level's null-space basis Z <- Z @ null(A_l Z) is computed with a
+  singular-value-thresholded SVD instead of fullPivLu().kernel(): masked task
+  rows and already-masked basis columns are exactly zero, so thresholding
+  recovers the same subspace with static shapes (the solution is invariant to
+  the choice of null-space basis).
+- padded/massked basis columns get unit diagonal regularization in H, pinning
+  their coordinates to zero without affecting live coordinates.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .qp import solve_qp
+
+
+class Task(NamedTuple):
+    """Equality (A x = b) and inequality (D x <= f) rows; masked rows are zero
+    with f = +margin so they never activate."""
+
+    A: jnp.ndarray
+    b: jnp.ndarray
+    D: jnp.ndarray
+    f: jnp.ndarray
+
+
+def null_space_masked(M, rel_tol=1e-9):
+    """Full-width (n x n) null-space basis of M (m x n) with column mask.
+
+    Columns of the returned Z span null(M); columns corresponding to the row
+    space are exactly zero (masked), keeping shapes static.
+    """
+    u, s, vt = jnp.linalg.svd(M, full_matrices=True)
+    n = M.shape[1]
+    k = s.shape[0]
+    tol = rel_tol * jnp.maximum(jnp.max(s), 1.0)
+    live = jnp.concatenate([s > tol, jnp.zeros(n - k, dtype=bool)])  # row-space cols
+    mask = 1.0 - live.astype(M.dtype)
+    return vt.T * mask[None, :]
+
+
+def solve_hierarchy(tasks: Sequence[Task], qp_iters: int = 30, null_tol: float = 1e-9):
+    """Solve the priority cascade. Returns the primal solution x (n,).
+
+    ``tasks`` is ordered highest priority first (task0, task1, task2, ...).
+    """
+    n = tasks[0].A.shape[1]
+    dtype = tasks[0].A.dtype
+    x = jnp.zeros(n, dtype=dtype)
+    Z = jnp.eye(n, dtype=dtype)
+    prev_ineq = []  # list of (D, f_with_slack)
+
+    for level, task in enumerate(tasks):
+        A, b, D, f = task
+        nv = D.shape[0]
+        AZ = A @ Z
+        col_live = (jnp.linalg.norm(Z, axis=0) > 1e-12).astype(dtype)
+        H_zz = AZ.T @ AZ + jnp.diag(1.0 - col_live) + 1e-9 * jnp.eye(n, dtype=dtype)
+        c_z = AZ.T @ (A @ x - b)
+
+        # decision vars [z (n); v (nv)]
+        H = jnp.zeros((n + nv, n + nv), dtype=dtype)
+        H = H.at[:n, :n].set(H_zz)
+        H = H.at[n:, n:].set(jnp.eye(nv, dtype=dtype))
+        c = jnp.concatenate([c_z, jnp.zeros(nv, dtype=dtype)])
+
+        G_rows = []
+        h_rows = []
+        # own inequalities: D(x + Zz) <= f + v
+        if nv > 0:
+            G_rows.append(jnp.concatenate([D @ Z, -jnp.eye(nv, dtype=dtype)], axis=1))
+            h_rows.append(f - D @ x)
+            # v >= 0
+            G_rows.append(
+                jnp.concatenate([jnp.zeros((nv, n), dtype=dtype), -jnp.eye(nv, dtype=dtype)], axis=1)
+            )
+            h_rows.append(jnp.zeros(nv, dtype=dtype))
+        # inherited inequalities with frozen slacks
+        for Dp, fp in prev_ineq:
+            G_rows.append(
+                jnp.concatenate([Dp @ Z, jnp.zeros((Dp.shape[0], nv), dtype=dtype)], axis=1)
+            )
+            h_rows.append(fp - Dp @ x)
+
+        if G_rows:
+            G = jnp.concatenate(G_rows, axis=0)
+            h = jnp.concatenate(h_rows)
+        else:
+            G = jnp.zeros((1, n + nv), dtype=dtype)
+            h = jnp.ones(1, dtype=dtype)
+
+        sol, _, _ = solve_qp(H, c, G, h, iters=qp_iters)
+        z, v = sol[:n], sol[n:]
+        x = x + Z @ z
+
+        if nv > 0:
+            prev_ineq.append((D, f + v))
+        if level < len(tasks) - 1:
+            # Null space of ALL equality rows processed so far. Equivalent to
+            # the recursive Z <- Z ker(A Z) of HoQp.cpp:126-133 but computed
+            # from the stacked rows: an orthonormal basis without the
+            # redundant/dead columns a product basis accumulates.
+            stacked_A = jnp.concatenate([t.A for t in tasks[: level + 1]], axis=0)
+            Z = null_space_masked(stacked_A, rel_tol=null_tol)
+    return x

@@ -35,13 +35,16 @@ def solve_qp(H, c, G, h, iters: int = 30):
     def body(_, carry):
         z, s, lam = carry
         mu = jnp.dot(lam, s) / m
+        # Freeze once converged: s, lam underflow past ~1e-16 and the scaled
+        # Newton system turns to NaN if iterated further.
+        proceed = mu > 1e-13
         sigma = 0.1
         target = sigma * mu
 
         r_d = H @ z + c + G.T @ lam
         r_p = G @ z + s - h
 
-        w = lam / s  # (m,)
+        w = lam / jnp.maximum(s, 1e-300)  # (m,)
         # Eliminate (ds, dlam):
         #   ds = -r_p - G dz
         #   dlam = (target - lam*s - lam*ds)/s = (target/s - lam) + w (r_p + G dz)
@@ -62,9 +65,9 @@ def solve_qp(H, c, G, h, iters: int = 30):
             return jnp.minimum(1.0, tau * jnp.min(ratio))
 
         alpha = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
-        z = z + alpha * dz
-        s = s + alpha * ds
-        lam = lam + alpha * dlam
+        z = jnp.where(proceed, z + alpha * dz, z)
+        s = jnp.where(proceed, s + alpha * ds, s)
+        lam = jnp.where(proceed, lam + alpha * dlam, lam)
         return z, s, lam
 
     z, s, lam = jax.lax.fori_loop(0, iters, body, (z, s, lam))

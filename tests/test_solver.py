@@ -155,7 +155,19 @@ def test_mpc_stance_hold(mpc_setup):
     m = float(jnp.sum(model.body_mass)) * 9.81
     fz = np.asarray(sol.U[:, 2:12:3]).sum(axis=1)
     np.testing.assert_allclose(fz, m, rtol=0.2)
-    assert float(sol.constraint_violation) < 1e-3
+    # one cold-start SQP iteration: violation within g_max (warm-started MPC
+    # solves drive it to ~1e-7, see test_mpc_stance_converges)
+    assert float(sol.constraint_violation) < 1e-2
+
+
+def test_mpc_stance_converges(mpc_setup):
+    """Two warm-started solves reach near-exact feasibility."""
+    model, cfg, ocp, solver, x0, targets = mpc_setup
+    sched = GaitSchedule()
+    stage = build_stage_data(model, cfg, sched, targets, 0.0)
+    sol = solver.solve(stage, x0)
+    sol2 = solver.solve(stage, x0, warm=(sol.times, sol.X, sol.U))
+    assert float(sol2.constraint_violation) < 1e-5
 
 
 def test_mpc_trot_solves(mpc_setup):
