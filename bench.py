@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark: batched whole-body NMPC throughput on the attached TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "mpc_solves_per_s", "value": N, "unit": "solves/s",
+   "vs_baseline": N / 10000}
+
+baseline = the driver's north-star target of 10k batched MPC solves/s
+(BASELINE.md; the reference's own budget is 100 solves/s on a desktop CPU —
+one 10 ms SQP solve per cycle at 100 Hz, task.info mpc/sqp settings).
+
+One "solve" = one full SQP/MPC iteration of the combined AlienGo+Z1 problem:
+RK2 linearization of the 30-state/30-input centroidal OCP over the 1 s /
+67-node horizon, constraint projection, Riccati sweep, parallel filter
+linesearch — identical math to a 100 Hz re-solve tick.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    b = int(os.environ.get("QM_BENCH_BATCH", "256"))
+    reps = int(os.environ.get("QM_BENCH_REPS", "20"))
+
+    from qm_door_tpu.config import default_config
+    from qm_door_tpu.models import aliengo_z1, kinematics, spatial
+    from qm_door_tpu.ocp.gait import GAIT_LIBRARY, GaitSchedule
+    from qm_door_tpu.ocp.problem import build_stage_data, make_ocp_config
+    from qm_door_tpu.ocp.reference import TargetTrajectories
+    from qm_door_tpu.parallel.batched import BatchedMpc
+    from qm_door_tpu.solver.sqp import SqpSolver
+
+    dtype = jnp.float32
+    model = aliengo_z1(dtype=dtype)
+    cfg = default_config()
+    ocp = make_ocp_config(model, cfg, dtype=dtype)
+    solver = SqpSolver(model, ocp, cfg)
+
+    x0 = jnp.asarray(cfg.initial_state(), dtype=dtype)
+    R_ee, p_ee = kinematics.ee_pose(model, x0[6:30])
+    quat = spatial.rot_to_quat(R_ee)
+    tstate = jnp.concatenate([x0, p_ee, quat])
+    targets = TargetTrajectories.create(
+        jnp.array([0.0, 1e5], dtype=dtype),
+        jnp.stack([tstate, tstate]),
+        jnp.zeros((2, 30), dtype=dtype),
+    )
+    sched = GaitSchedule()
+    sched.insert_template(GAIT_LIBRARY["trot"], 0.0, 5.0)
+    stage = build_stage_data(model, cfg, sched, targets, 0.0, dtype=dtype)
+
+    # domain-randomized initial states (small pose/momentum perturbations)
+    rng = np.random.default_rng(0)
+    perturb = rng.normal(size=(b, 30)) * 0.02
+    x_batch = jnp.asarray(np.asarray(x0)[None, :] + perturb, dtype=dtype)
+
+    mpc = BatchedMpc(solver)
+    X, U = mpc.cold_start(stage, x_batch)
+
+    # warm-up / compile
+    t0 = time.time()
+    X, U, stats = mpc.step(stage, x_batch, X, U)
+    jax.block_until_ready(X)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(reps):
+        X, U, stats = mpc.step(stage, x_batch, X, U)
+    jax.block_until_ready(X)
+    elapsed = time.time() - t0
+
+    solves_per_s = b * reps / elapsed
+    result = {
+        "metric": "mpc_solves_per_s",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 10000.0, 4),
+        "batch": b,
+        "reps": reps,
+        "per_solve_us": round(1e6 * elapsed / (b * reps), 2),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -147,8 +147,8 @@ class ControllerSettings:
     # PD+ff command law (QMController::updateControlLaw)
     leg_kp: float = 0.0
     leg_kd: float = 3.0
-    arm_kp: float = 150.0   # qm_controllers/cfg/weight.cfg defaults
-    arm_kd: float = 5.0
+    arm_kp: float = 0.0    # qm_controllers/cfg/weight.cfg defaults
+    arm_kd: float = 0.5
     leg_pd_start_time: float = 10.0  # legs use pure feedforward until t>10
     safety_tilt_limit: float = float(np.pi / 2)
 

@@ -1,0 +1,142 @@
+"""Closed-loop orchestration: physics (1 kHz) + controller (500 Hz) + MPC
+(100 Hz) — the cadence of the reference stack (Gazebo 1 kHz physics,
+ros_control ~500 Hz update, mpcDesiredFrequency 100).
+
+Host-side loop mirroring QMController::starting/update + the MPC thread; each
+piece (sim step, controller tick, SQP solve) is a jitted device function. The
+MPC runs synchronously at its cadence here (deterministic replay); the
+real-time asynchronous variant simply swaps the policy whenever a solve
+finishes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import QmConfig
+from ..models import centroidal
+from ..models.model import RobotModel
+from ..ocp.gait import GaitSchedule, mode_to_flags
+from ..ocp.problem import build_stage_data, make_ocp_config
+from ..ocp.reference import TargetTrajectories
+from ..runtime.controller import QmController
+from ..runtime.mrt import PolicyStore
+from ..solver.sqp import SqpSolver
+from ..wbc.wbc import WbcState
+from .sim import SimConfig, SimState, contact_flags_from_sim, measured_rbd, sim_init, sim_step
+
+
+@dataclass
+class ClosedLoopLog:
+    t: List[float] = field(default_factory=list)
+    base_pose: List[np.ndarray] = field(default_factory=list)
+    x_obs: List[np.ndarray] = field(default_factory=list)
+    tau: List[np.ndarray] = field(default_factory=list)
+    ee_pos: List[np.ndarray] = field(default_factory=list)
+    mpc_cost: List[float] = field(default_factory=list)
+    mpc_viol: List[float] = field(default_factory=list)
+    safe: bool = True
+
+
+class ClosedLoopRunner:
+    """Deterministic closed-loop rollout of the full stack."""
+
+    def __init__(
+        self,
+        model: RobotModel,
+        cfg: QmConfig,
+        schedule: Optional[GaitSchedule] = None,
+        sim_cfg: SimConfig = SimConfig(),
+        control_decimation: int = 2,   # physics steps per control tick (500 Hz)
+        mpc_decimation: int = 10,      # physics steps per MPC solve (100 Hz)
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.sim_cfg = sim_cfg
+        self.schedule = schedule or GaitSchedule()
+        self.ocp = make_ocp_config(model, cfg)
+        self.solver = SqpSolver(model, self.ocp, cfg)
+        self.controller = QmController(model, cfg)
+        self.control_decimation = control_decimation
+        self.mpc_decimation = mpc_decimation
+
+    def run(
+        self,
+        targets: TargetTrajectories,
+        duration: float,
+        x0: Optional[np.ndarray] = None,
+        start_height_offset: float = 0.0,
+    ) -> ClosedLoopLog:
+        model, cfg = self.model, self.cfg
+        x_init = jnp.asarray(cfg.initial_state()) if x0 is None else jnp.asarray(x0)
+        q0 = centroidal.pinocchio_q(x_init)
+        # Spawn with feet exactly on the terrain (Gazebo drops the robot; we
+        # solve the drop analytically) plus any requested extra offset.
+        from ..models import kinematics
+
+        feet_z = float(jnp.mean(kinematics.contact_positions(model, q0)[:, 2]))
+        q0 = q0.at[2].add(self.sim_cfg.terrain_height - feet_z + start_height_offset)
+        sim = sim_init(model, q0, cfg=self.sim_cfg)
+
+        # initial solve (QMController::starting — spin until policy received)
+        rbd = measured_rbd(model, sim)
+        x_obs = centroidal.centroidal_state_from_rbd(model, rbd)
+        stage = build_stage_data(model, cfg, self.schedule, targets, 0.0)
+        sol = self.solver.solve(stage, x_obs)
+        sol = self.solver.solve(stage, x_obs, warm=(sol.times, sol.X, sol.U))
+        policy = PolicyStore(times=sol.times, X=sol.X, U=sol.U)
+
+        wbc_state = WbcState.init(dtype=x_init.dtype)
+        log = ClosedLoopLog()
+        command = None
+
+        n_steps = int(round(duration / self.sim_cfg.dt))
+        dt = self.sim_cfg.dt
+        ctrl_period = dt * self.control_decimation
+
+        for step in range(n_steps):
+            t = step * dt
+            if step % self.mpc_decimation == 0 and step > 0:
+                rbd = measured_rbd(model, sim)
+                x_obs = centroidal.centroidal_state_from_rbd(model, rbd)
+                stage = build_stage_data(model, cfg, self.schedule, targets, t)
+                sol = self.solver.solve(
+                    stage, x_obs, warm=(sol.times, sol.X, sol.U)
+                )
+                policy = PolicyStore(times=sol.times, X=sol.X, U=sol.U)
+                log.mpc_cost.append(float(sol.cost))
+                log.mpc_viol.append(float(sol.constraint_violation))
+
+            if step % self.control_decimation == 0 or command is None:
+                rbd = measured_rbd(model, sim)
+                flags = jnp.asarray(
+                    self.schedule.contact_flags_at(t), dtype=x_init.dtype
+                )
+                res = self.controller.tick(
+                    policy, flags, rbd, wbc_state, t, ctrl_period
+                )
+                wbc_state = res.wbc_state
+                command = jnp.stack(
+                    [
+                        res.command.pos_des,
+                        res.command.vel_des,
+                        res.command.kp,
+                        res.command.kd,
+                        res.command.tau_ff,
+                    ]
+                )
+                if not bool(res.safe):
+                    log.safe = False
+                    break
+                log.t.append(t)
+                log.base_pose.append(np.asarray(sim.q[0:6]))
+                log.x_obs.append(np.asarray(res.x_obs))
+                log.tau.append(np.asarray(res.command.tau_ff))
+                log.ee_pos.append(np.asarray(rbd[48:51]))
+
+            sim = sim_step(model, self.sim_cfg, sim, command)
+
+        return log

@@ -1,0 +1,130 @@
+"""Batched rigid-body simulation (Gazebo's role, qm_gazebo replacement).
+
+Full whole-body dynamics M(q) a = tau_gen + J_c^T F_contact - h(q, v) with
+spring-damper ground contacts and Coulomb-clamped tangential friction,
+semi-implicit Euler at the physics rate. Actuator model reproduces
+QMHWSim::writeSim (QMHWSim.cpp:98-116): a command delay ring buffer
+(default.yaml gazebo/delay: 9 ms) followed by tau = kp (q_d - q) +
+kd (v_d - v) + ff, clamped to URDF effort limits.
+
+Pure JAX, vmappable over a scenario batch (terrain height offsets, payload,
+pushes enter via SimConfig / external wrench inputs).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models import centroidal, dynamics, kinematics
+from ..models.model import RobotModel
+
+
+class SimConfig(NamedTuple):
+    dt: float = 0.001
+    contact_stiffness: float = 40000.0
+    # explicit-integration stability: c * dt / m_foot_effective < 1
+    contact_damping: float = 500.0
+    friction_coefficient: float = 0.8
+    tangential_velocity_damping: float = 200.0
+    terrain_height: float = 0.0
+    delay_steps: int = 9  # 9 ms at 1 kHz (qm_gazebo/config/default.yaml:2)
+
+
+@struct.dataclass
+class SimState:
+    q: jnp.ndarray            # (24,)
+    v: jnp.ndarray            # (24,)
+    t: jnp.ndarray            # ()
+    cmd_buffer: jnp.ndarray   # (delay_steps+1, 5, 18) hybrid command history
+    buf_head: jnp.ndarray     # () int32 ring index
+
+
+def sim_init(model: RobotModel, q0, v0=None, cfg: SimConfig = SimConfig()) -> SimState:
+    dtype = q0.dtype
+    v0 = jnp.zeros(24, dtype=dtype) if v0 is None else v0
+    nbuf = cfg.delay_steps + 1
+    buf = jnp.zeros((nbuf, 5, 18), dtype=dtype)
+    # initialize buffer with "hold position, zero gains" commands
+    buf = buf.at[:, 0, :].set(q0[6:24])
+    return SimState(
+        q=q0, v=v0, t=jnp.zeros((), dtype=dtype), cmd_buffer=buf,
+        buf_head=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def _contact_forces(model: RobotModel, cfg: SimConfig, q, v):
+    """(4,3) ground-reaction forces on the feet (world frame)."""
+    p = kinematics.contact_positions(model, q)                   # (4,3)
+    J = kinematics.frame_jacobians(model, q, model.contact_frame_ids)[:, :3, :]
+    vel = J @ v                                                   # (4,3)
+    depth = cfg.terrain_height - p[:, 2]                          # >0 when penetrating
+    in_contact = depth > 0
+    fz = jnp.where(
+        in_contact, cfg.contact_stiffness * depth - cfg.contact_damping * vel[:, 2], 0.0
+    )
+    fz = jnp.maximum(fz, 0.0)
+    ft = -cfg.tangential_velocity_damping * vel[:, :2] * in_contact[:, None]
+    # Coulomb clamp
+    ft_norm = jnp.linalg.norm(ft, axis=-1, keepdims=True)
+    ft_max = cfg.friction_coefficient * fz[:, None]
+    scale = jnp.where(ft_norm > ft_max, ft_max / jnp.maximum(ft_norm, 1e-9), 1.0)
+    ft = ft * scale
+    return jnp.concatenate([ft, fz[:, None]], axis=-1), J, in_contact
+
+
+def push_command(state: SimState, command_stack) -> SimState:
+    """Insert a new hybrid command (5,18) into the delay ring buffer."""
+    nbuf = state.cmd_buffer.shape[0]
+    head = (state.buf_head + 1) % nbuf
+    buf = state.cmd_buffer.at[head].set(command_stack)
+    return state.replace(cmd_buffer=buf, buf_head=head)
+
+
+def _delayed_command(state: SimState):
+    """Oldest command in the ring = the one delayed by delay_steps."""
+    nbuf = state.cmd_buffer.shape[0]
+    idx = (state.buf_head + 1) % nbuf
+    return state.cmd_buffer[idx]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def sim_step(model: RobotModel, cfg: SimConfig, state: SimState, command_stack,
+             external_wrench=None) -> SimState:
+    """One physics step. ``command_stack`` is (5,18): rows
+    (pos_des, vel_des, kp, kd, tau_ff). ``external_wrench`` (6,) optional
+    disturbance on the base (world frame force/torque at base origin)."""
+    state = push_command(state, command_stack)
+    cmd = _delayed_command(state)
+
+    q, v = state.q, state.v
+    q_j, v_j = q[6:24], v[6:24]
+    tau = cmd[2] * (cmd[0] - q_j) + cmd[3] * (cmd[1] - v_j) + cmd[4]
+    tau = jnp.clip(tau, -model.effort_limit, model.effort_limit)
+
+    Fc, J, _ = _contact_forces(model, cfg, q, v)
+    tau_gen = jnp.concatenate([jnp.zeros(6, dtype=q.dtype), tau])
+    tau_gen = tau_gen + jnp.einsum("cij,ci->j", J, Fc)
+    if external_wrench is not None:
+        Jb = kinematics.frame_jacobians(model, q, (model.base_frame_id,))[0]
+        tau_gen = tau_gen + Jb.T @ external_wrench
+
+    a = dynamics.forward_dynamics(model, q, v, tau_gen)
+    v_new = v + cfg.dt * a
+    q_new = q + cfg.dt * v_new
+    return state.replace(q=q_new, v=v_new, t=state.t + cfg.dt)
+
+
+@jax.jit
+def contact_flags_from_sim(model: RobotModel, q, threshold=0.002):
+    """Ground-truth contact flags from foot height (ContactSensor stand-in)."""
+    p = kinematics.contact_positions(model, q)
+    return (p[:, 2] < threshold).astype(q.dtype)
+
+
+def measured_rbd(model: RobotModel, state: SimState):
+    """Ground-truth estimator output (FromTopicStateEstimate equivalent)."""
+    return centroidal.rbd_from_generalized(model, state.q, state.v)
