@@ -32,6 +32,11 @@ class SqpSettings:
     # Levenberg-style diagonal shift applied when the projected Hessian
     # loses positive-definiteness (OCS2 hessianCorrection DIAGONAL_SHIFT).
     hessian_shift: float = 1e-5
+    # backend choices: projection "chol" (Cholesky projector, TPU fast path)
+    # or "qr" (orthonormal basis); riccati "parallel" (associative scan,
+    # O(log N) depth) or "scan" (sequential sweep)
+    projection: str = "chol"
+    riccati: str = "parallel"
 
 
 @dataclass

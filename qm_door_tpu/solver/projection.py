@@ -1,0 +1,58 @@
+"""Cholesky-projector equality projection (TPU fast path).
+
+Equivalent to the QR-based projection in transcription._project_node but with
+only Cholesky/matmul primitives (no QR/SVD — both are slow on TPU):
+
+- M = Gv Gv^T + diag(1 - active_rows) is SPD and *exactly* invertible: masked
+  rows of Gv are identically zero, so M is block-diagonal between the active
+  block (full row rank generically) and an identity block; hence
+  Gv^+ = Gv^T M^-1 is the exact pseudo-inverse of the active rows.
+- The null space is represented by the orthogonal projector
+  P = I - Gv^+ Gv (18x18) instead of a basis: reduced input
+  u_red = [dF_tilde (12); w (18)] with w acting through P. Directions in
+  range(Gv^T) are pinned to zero by the (I - P) Hessian regularizer — same
+  padded-dimension trick as the basis form, but rank handling is implicit.
+
+Reduced input dim: 12 + 18 = 30.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ocp import constraints as cons
+
+NX = 30
+NU = 30
+NU_RED_PROJ = 30
+
+
+def project_node_chol(flags, F_bar, g0, Gx, Gv, shift):
+    """du = p + Pu u_red + Px dx with u_red in R^30. Returns (p, Pu, Px, reg)."""
+    dtype = g0.dtype
+    active = cons.velocity_row_mask(flags)                  # (12,)
+    M = Gv @ Gv.T + jnp.diag(1.0 - active)
+    chol = jax.scipy.linalg.cho_factor(M)
+    pinvT = jax.scipy.linalg.cho_solve(chol, Gv)            # (12,18) = M^-1 Gv
+    GvPinv = pinvT.T                                        # (18,12) = Gv^+
+
+    du_part = -GvPinv @ g0                                  # (18,)
+    Px_v = -GvPinv @ Gx                                     # (18,30)
+    P = jnp.eye(18, dtype=dtype) - GvPinv @ Gv              # (18,18) projector
+
+    force_mask = jnp.repeat(flags, 3)                       # (12,) 1 = stance
+    p = jnp.concatenate([-(1.0 - force_mask) * F_bar, du_part])
+
+    Pu = jnp.zeros((NU, NU_RED_PROJ), dtype=dtype)
+    Pu = Pu.at[0:12, 0:12].set(jnp.diag(force_mask))
+    Pu = Pu.at[12:30, 12:30].set(P)
+    Px = jnp.zeros((NU, NX), dtype=dtype)
+    Px = Px.at[12:30, :].set(Px_v)
+
+    reg = jnp.zeros((NU_RED_PROJ, NU_RED_PROJ), dtype=dtype)
+    reg = reg.at[0:12, 0:12].set(jnp.diag(1.0 - force_mask))
+    reg = reg.at[12:30, 12:30].set(jnp.eye(18, dtype=dtype) - P)
+    reg = reg + shift * jnp.eye(NU_RED_PROJ, dtype=dtype)
+    return p, Pu, Px, reg

@@ -118,9 +118,17 @@ def sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, setti
                   x_init, X, U):
     """One full SQP iteration. Returns updated (X, U, stats)."""
     lq = linearize_ocp(model, ocp, stage, dt, X, U)
-    plq = project_ocp(lq, stage, U, shift=settings.hessian_shift)
+    plq = project_ocp(
+        lq, stage, U, shift=settings.hessian_shift, method=settings.projection
+    )
     dx0 = x_init - X[0]
-    dX, dU, K, kff = lqr_solve(plq, dx0)
+    if settings.riccati == "parallel":
+        from .parallel_riccati import parallel_riccati_backward
+
+        K, kff = parallel_riccati_backward(plq)
+        dX, _, dU = riccati_forward(plq, K, kff, dx0)
+    else:
+        dX, dU, K, kff = lqr_solve(plq, dx0)
 
     cost0, viol0 = evaluate_trajectory(model, ocp, stage, dt, X, U)
     alpha, cost_new, viol_new = _linesearch(
@@ -146,6 +154,8 @@ class _SqpSettingsStatic(NamedTuple):
     min_step: float
     step_reduction: float
     hessian_shift: float
+    projection: str = "chol"
+    riccati: str = "parallel"
 
 
 def _settings_static(cfg_sqp) -> "_SqpSettingsStatic":
@@ -159,6 +169,8 @@ def _settings_static(cfg_sqp) -> "_SqpSettingsStatic":
         min_step=cfg_sqp.min_step,
         step_reduction=cfg_sqp.step_reduction,
         hessian_shift=cfg_sqp.hessian_shift,
+        projection=getattr(cfg_sqp, "projection", "chol"),
+        riccati=getattr(cfg_sqp, "riccati", "parallel"),
     )
 
 

@@ -193,10 +193,19 @@ def _project_node(flags, F_bar, g0, Gx, Gv, shift):
     return p, Pu, Px, reg
 
 
-def project_ocp(lq: LqProblem, stage: StageData, U, shift=1e-5) -> ProjectedLq:
-    """Apply force elimination + velocity-constraint projection to the LQ data."""
+def project_ocp(lq: LqProblem, stage: StageData, U, shift=1e-5,
+                method: str = "chol") -> ProjectedLq:
+    """Apply force elimination + velocity-constraint projection to the LQ data.
+
+    method: "chol" (Cholesky projector, TPU fast path, reduced dim 30) or
+    "qr" (orthonormal padded basis, reduced dim 26). Both are exact; see
+    tests/test_solver.py for the equivalence check.
+    """
+    from .projection import project_node_chol
+
+    node_fn = project_node_chol if method == "chol" else _project_node
     F_bar = U[:, 0:12]
-    p, Pu, Px, reg = jax.vmap(partial(_project_node, shift=shift))(
+    p, Pu, Px, reg = jax.vmap(partial(node_fn, shift=shift))(
         stage.contact_flags[: U.shape[0]], F_bar, lq.g0, lq.Gx, lq.Gv
     )
 

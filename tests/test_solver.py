@@ -123,21 +123,22 @@ def test_projection_satisfies_constraints(mpc_setup, rng):
     N = solver.n_intervals
     X, U = solver.cold_start(stage, x0)
     lq = linearize_ocp(model, ocp, stage, cfg.sqp.dt, X, U)
-    plq = project_ocp(lq, stage, U)
 
-    for k in [0, 10, 33]:
-        dx = jnp.asarray(rng.normal(size=30) * 0.01)
-        u_red = jnp.asarray(rng.normal(size=26))
-        du = plq.p[k] + plq.Pu[k] @ u_red + plq.Px[k] @ dx
-        # linearized velocity rows: g0 + Gx dx + Gv du_j == 0 (masked rows)
-        resid = lq.g0[k] + lq.Gx[k] @ dx + lq.Gv[k] @ du[12:30]
-        np.testing.assert_allclose(resid, 0.0, atol=1e-8)
-        # swing forces pinned to -F_bar (new F = 0)
-        flags = np.asarray(stage.contact_flags[k])
-        swing = np.repeat(flags == 0, 3)
-        np.testing.assert_allclose(
-            np.asarray(U[k, :12] + du[:12])[swing], 0.0, atol=1e-10
-        )
+    for method, nu_red in [("qr", 26), ("chol", 30)]:
+        plq = project_ocp(lq, stage, U, method=method)
+        for k in [0, 10, 33]:
+            dx = jnp.asarray(rng.normal(size=30) * 0.01)
+            u_red = jnp.asarray(rng.normal(size=nu_red))
+            du = plq.p[k] + plq.Pu[k] @ u_red + plq.Px[k] @ dx
+            # linearized velocity rows: g0 + Gx dx + Gv du_j == 0 (masked rows)
+            resid = lq.g0[k] + lq.Gx[k] @ dx + lq.Gv[k] @ du[12:30]
+            np.testing.assert_allclose(resid, 0.0, atol=1e-8)
+            # swing forces pinned to -F_bar (new F = 0)
+            flags = np.asarray(stage.contact_flags[k])
+            swing = np.repeat(flags == 0, 3)
+            np.testing.assert_allclose(
+                np.asarray(U[k, :12] + du[:12])[swing], 0.0, atol=1e-10
+            )
 
 
 def test_mpc_stance_hold(mpc_setup):
@@ -183,3 +184,22 @@ def test_mpc_trot_solves(mpc_setup):
     F = np.asarray(sol.U[:, :12]).reshape(-1, 4, 3)
     swing_F = F[flags == 0]
     np.testing.assert_allclose(swing_F, 0.0, atol=1e-6)
+
+
+def test_projection_backends_equivalent(mpc_setup, rng):
+    """Cholesky-projector and QR-basis projections yield the same SQP step."""
+    from qm_door_tpu.solver.riccati import lqr_solve
+
+    model, cfg, ocp, solver, x0, targets = mpc_setup
+    sched = GaitSchedule()
+    sched.insert_template(GAIT_LIBRARY["trot"], 0.0, 3.0)
+    stage = build_stage_data(model, cfg, sched, targets, 0.0)
+    X, U = solver.cold_start(stage, x0)
+    lq = linearize_ocp(model, ocp, stage, cfg.sqp.dt, X, U)
+    dx0 = jnp.zeros(30)
+    plq_qr = project_ocp(lq, stage, U, method="qr")
+    plq_ch = project_ocp(lq, stage, U, method="chol")
+    dX1, dU1, _, _ = lqr_solve(plq_qr, dx0)
+    dX2, dU2, _, _ = lqr_solve(plq_ch, dx0)
+    np.testing.assert_allclose(dU1, dU2, atol=1e-6)
+    np.testing.assert_allclose(dX1, dX2, atol=1e-6)
