@@ -196,6 +196,16 @@ def base_linear_motion_task(d: WbcData, kp, kd) -> Task:
     return Task(A, b, De, fe)
 
 
+def base_xy_linear_accel_task(d: WbcData) -> Task:
+    """Pure feedforward xy base acceleration (formulateBaseXYLinearAccelTask;
+    defined by the reference but unused in its shipped hierarchies)."""
+    dtype = d.M.dtype
+    A = jnp.zeros((2, N_DEC), dtype=dtype).at[:, 0:2].set(jnp.eye(2, dtype=dtype))
+    b = d.base_acc_des[0:2]
+    De, fe = _empty(dtype)
+    return Task(A, b, De, fe)
+
+
 def base_height_motion_task(d: WbcData, kp, kd) -> Task:
     dtype = d.M.dtype
     A = jnp.zeros((1, N_DEC), dtype=dtype).at[0, 2].set(1.0)

@@ -182,3 +182,44 @@ def test_wbc_trot_mode(wbc_setup):
     m_tot = float(jnp.sum(model.body_mass))
     assert F[[0, 3], 2].min() > 0.0
     np.testing.assert_allclose(F[[0, 3], 2].sum(), m_tot * GRAVITY, rtol=0.3)
+
+
+def test_wbc_separated_variant(wbc_setup):
+    """HierarchicalMpcWbc stack solves and matches force tracking in stance."""
+    from qm_door_tpu.wbc.wbc import hierarchical_mpc_wbc
+
+    model, cfg, x0, rbd = wbc_setup
+    flags = jnp.ones(4)
+    u_des = _moment_balanced_input(model, x0)
+    cmd, _ = hierarchical_mpc_wbc(
+        model, cfg.wbc, x0, u_des, rbd, flags, WbcState.init(), 0.002, qp_iters=40
+    )
+    F = np.asarray(cmd[24:36])
+    np.testing.assert_allclose(F, np.asarray(u_des[:12]), atol=2.0)
+    tau = np.asarray(cmd[36:54])
+    assert (np.abs(tau) <= np.asarray(model.effort_limit) + 1e-6).all()
+
+
+def test_wbc_batched_vmap(wbc_setup):
+    """The WBC tick vmaps over a scenario batch."""
+    import jax
+
+    model, cfg, x0, rbd = wbc_setup
+    flags = jnp.ones(4)
+    u_des = _moment_balanced_input(model, x0)
+    B = 3
+    xs = jnp.tile(x0[None], (B, 1))
+    us = jnp.tile(u_des[None], (B, 1))
+    rbds = jnp.tile(rbd[None], (B, 1))
+    flagss = jnp.tile(flags[None], (B, 1))
+
+    def one(x, u, r, f):
+        cmd, _ = hierarchical_wbc(
+            model, cfg.wbc, x, u, r, f, WbcState.init(), 0.002,
+            use_arm_init=False, qp_iters=25,
+        )
+        return cmd
+
+    cmds = jax.vmap(one)(xs, us, rbds, flagss)
+    assert cmds.shape == (B, 54)
+    np.testing.assert_allclose(cmds[0], cmds[1], atol=1e-9)
