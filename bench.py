@@ -64,16 +64,23 @@ def main():
     X, U = mpc.cold_start(stage, x_batch)
 
     # warm-up / compile
+    print(f"compiling batched step (batch={b}) ...", file=sys.stderr, flush=True)
     t0 = time.time()
     X, U, stats = mpc.step(stage, x_batch, X, U)
     jax.block_until_ready(X)
     compile_s = time.time() - t0
+    print(f"compiled in {compile_s:.1f}s; running {reps} reps", file=sys.stderr, flush=True)
 
     t0 = time.time()
-    for _ in range(reps):
+    for i in range(reps):
         X, U, stats = mpc.step(stage, x_batch, X, U)
+        if i == 0:
+            jax.block_until_ready(X)
+            print(f"first step {time.time()-t0:.2f}s", file=sys.stderr, flush=True)
     jax.block_until_ready(X)
     elapsed = time.time() - t0
+    viol = float(jnp.mean(stats[1]))
+    print(f"mean violation after {reps} reps: {viol:.2e}", file=sys.stderr, flush=True)
 
     solves_per_s = b * reps / elapsed
     result = {
@@ -85,6 +92,7 @@ def main():
         "reps": reps,
         "per_solve_us": round(1e6 * elapsed / (b * reps), 2),
         "compile_s": round(compile_s, 1),
+        "mean_violation": viol,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

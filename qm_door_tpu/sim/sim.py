@@ -30,8 +30,15 @@ class SimConfig(NamedTuple):
     contact_damping: float = 500.0
     friction_coefficient: float = 0.8
     tangential_velocity_damping: float = 200.0
-    terrain_height: float = 0.0
     delay_steps: int = 9  # 9 ms at 1 kHz (qm_gazebo/config/default.yaml:2)
+    # terrain: static name selects the height-field; params are traced
+    terrain: str = "flat"
+    terrain_params: tuple = (0.0,)
+
+    @property
+    def terrain_height(self):
+        """Mean flat height (spawn grounding); exact only for flat terrain."""
+        return self.terrain_params[0] if self.terrain == "flat" else 0.0
 
 
 @struct.dataclass
@@ -58,10 +65,13 @@ def sim_init(model: RobotModel, q0, v0=None, cfg: SimConfig = SimConfig()) -> Si
 
 def _contact_forces(model: RobotModel, cfg: SimConfig, q, v):
     """(4,3) ground-reaction forces on the feet (world frame)."""
+    from .terrain import terrain_height
+
     p = kinematics.contact_positions(model, q)                   # (4,3)
     J = kinematics.frame_jacobians(model, q, model.contact_frame_ids)[:, :3, :]
     vel = J @ v                                                   # (4,3)
-    depth = cfg.terrain_height - p[:, 2]                          # >0 when penetrating
+    ground = terrain_height(cfg.terrain, p[:, 0], p[:, 1], cfg.terrain_params)
+    depth = ground - p[:, 2]                                      # >0 when penetrating
     in_contact = depth > 0
     fz = jnp.where(
         in_contact, cfg.contact_stiffness * depth - cfg.contact_damping * vel[:, 2], 0.0

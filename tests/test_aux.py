@@ -64,3 +64,37 @@ def test_circle_planner_progression():
     np.testing.assert_allclose(tgt[:3], [-1.4 + 1.2, 0.0, 1.0])
     tgt2 = planner.update(tgt[:3], 7.2)
     assert not np.allclose(tgt2[:3], tgt[:3])  # advanced to next waypoint
+
+
+def test_terrain_functions():
+    import jax.numpy as jnp
+    from qm_door_tpu.sim.terrain import terrain_height, default_params, TERRAINS
+
+    x = jnp.asarray([0.0, 0.6, 1.2])
+    y = jnp.zeros(3)
+    for name in TERRAINS:
+        z = terrain_height(name, x, y, default_params(name))
+        assert z.shape == (3,)
+    z = terrain_height("stairs", x, y, (0.5, 0.25, 0.08, 5.0))
+    np.testing.assert_allclose(z, [0.0, 0.08, 0.24], atol=1e-9)
+    z = terrain_height("step", x, y, (0.5, 0.1))
+    np.testing.assert_allclose(z, [0.0, 0.1, 0.1], atol=1e-12)
+
+
+def test_sim_step_on_step_terrain():
+    import jax.numpy as jnp
+    from qm_door_tpu.config import default_config
+    from qm_door_tpu.models import aliengo_z1, centroidal
+    from qm_door_tpu.sim.sim import SimConfig, sim_init, sim_step
+
+    model = aliengo_z1()
+    cfg = default_config()
+    x0 = np.asarray(cfg.initial_state())
+    q0 = jnp.asarray(x0[6:30])
+    sc = SimConfig(terrain="step", terrain_params=(10.0, 0.1))  # step far away
+    st = sim_init(model, q0, cfg=sc)
+    cmd = jnp.stack([q0[6:24], jnp.zeros(18), jnp.full(18, 300.0),
+                     jnp.full(18, 8.0), jnp.zeros(18)])
+    for _ in range(50):
+        st = sim_step(model, sc, st, cmd)
+    assert bool(jnp.isfinite(st.q).all())
