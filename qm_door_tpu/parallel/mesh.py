@@ -31,3 +31,32 @@ def shard_batch(tree, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def multihost_mesh(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host scenario mesh over DCN (the >=2-host scaling axis of
+    BASELINE.md). Call once per process before any other JAX use:
+
+        mesh = multihost_mesh("host0:1234", num_processes=2, process_id=rank)
+
+    On a single process this degrades to :func:`scenario_mesh` over the local
+    devices. Scenario batches use jax.make_array_from_process_local_data so
+    each host feeds its own shard; XLA keeps the per-scenario solves local
+    (no cross-host traffic on the solve path — collectives appear only in
+    user-level reductions such as fleet statistics).
+    """
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return scenario_mesh()
+
+
+def from_process_local(mesh: Mesh, local_batch):
+    """Assemble a global scenario batch from per-host shards."""
+    sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), local_batch
+    )

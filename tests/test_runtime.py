@@ -68,3 +68,33 @@ def test_cmd_vel_targets():
     np.testing.assert_allclose(s1[7], 2.0 + 0.3 * cfg.mpc.time_horizon, atol=1e-9)
     # desired momentum head(3) = rotated velocity
     np.testing.assert_allclose(np.asarray(tt.states[0][:3]), [0.0, 0.3, 0.0], atol=1e-9)
+
+
+def test_msgs_roundtrip():
+    from qm_door_tpu.runtime import msgs
+
+    ee = msgs.EeState(1.5, np.arange(7.0))
+    assert msgs.EeState.from_array(ee.to_array()).time == 1.5
+    obs = msgs.Observation(0.5, np.arange(30.0), np.arange(30.0) + 1, 9)
+    o2 = msgs.Observation.from_array(obs.to_array())
+    assert o2.mode == 9
+    np.testing.assert_allclose(o2.input, obs.input)
+
+
+def test_rollout_integrators(model):
+    import jax.numpy as jnp
+    from qm_door_tpu.config import default_config
+    from qm_door_tpu.models import centroidal
+    from qm_door_tpu.solver.rollout import rollout, rk45_step
+
+    cfg = default_config()
+    x0 = jnp.asarray(cfg.initial_state())
+    u = centroidal.weight_compensating_input(model, jnp.ones(4))
+    U = jnp.tile(u[None], (5, 1))
+    X4 = rollout(model, x0, U, 0.015, substeps=1, method="rk4")
+    X4b = rollout(model, x0, U, 0.015, substeps=4, method="rk4")
+    assert X4.shape == (6, 30)
+    # refinement changes little (smooth dynamics): integrator consistency
+    np.testing.assert_allclose(X4[-1], X4b[-1], atol=1e-6)
+    _, err = rk45_step(model, x0, u, 0.015)
+    assert float(err) < 1e-6
