@@ -37,6 +37,9 @@ class SqpSettings:
     # O(log N) depth) or "scan" (sequential sweep)
     projection: str = "chol"
     riccati: str = "parallel"
+    # >0: linearize nodes in chunks of this size (bounds jacfwd workspace
+    # memory for large scenario batches); 0 = all nodes at once
+    lin_chunk: int = 0
 
 
 @dataclass

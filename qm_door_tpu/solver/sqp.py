@@ -117,7 +117,9 @@ def _linesearch(model, ocp, stage, dt, X, U, dX, dU, cost0, viol0, settings):
 def sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, settings,
                   x_init, X, U):
     """One full SQP iteration. Returns updated (X, U, stats)."""
-    lq = linearize_ocp(model, ocp, stage, dt, X, U)
+    lq = linearize_ocp(
+        model, ocp, stage, dt, X, U, node_chunk=getattr(settings, "lin_chunk", 0)
+    )
     plq = project_ocp(
         lq, stage, U, shift=settings.hessian_shift, method=settings.projection
     )
@@ -156,6 +158,7 @@ class _SqpSettingsStatic(NamedTuple):
     hessian_shift: float
     projection: str = "chol"
     riccati: str = "parallel"
+    lin_chunk: int = 0
 
 
 def _settings_static(cfg_sqp) -> "_SqpSettingsStatic":
@@ -171,6 +174,7 @@ def _settings_static(cfg_sqp) -> "_SqpSettingsStatic":
         hessian_shift=cfg_sqp.hessian_shift,
         projection=getattr(cfg_sqp, "projection", "chol"),
         riccati=getattr(cfg_sqp, "riccati", "parallel"),
+        lin_chunk=getattr(cfg_sqp, "lin_chunk", 0),
     )
 
 

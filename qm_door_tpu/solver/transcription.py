@@ -110,17 +110,25 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
     return A, B, d, dt * l, dt * lx, dt * lu, dt * lxx, dt * luu, dt * lux, g0, Gx, Gv
 
 
-def linearize_ocp(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, X, U) -> LqProblem:
+def linearize_ocp(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, X, U,
+                  node_chunk: int = 0) -> LqProblem:
     """Vectorized linearization of dynamics/cost/constraints along (X, U).
 
-    X: (N+1, 30), U: (N, 30).
+    X: (N+1, 30), U: (N, 30). ``node_chunk`` > 0 processes nodes in chunks
+    (lax.map batch_size) to bound the jacfwd workspace at large scenario
+    batches; 0 vectorizes all nodes at once.
     """
     N = U.shape[0]
     ks = jnp.arange(N)
     fn = partial(_node_linearization, model, ocp, stage, dt)
-    A, B, d, l, lx, lu, lxx, luu, lux, g0, Gx, Gv = jax.vmap(fn)(
-        ks, X[:-1], U, X[1:]
-    )
+    if node_chunk and node_chunk < N:
+        A, B, d, l, lx, lu, lxx, luu, lux, g0, Gx, Gv = jax.lax.map(
+            lambda args: fn(*args), (ks, X[:-1], U, X[1:]), batch_size=node_chunk
+        )
+    else:
+        A, B, d, l, lx, lu, lxx, luu, lux, g0, Gx, Gv = jax.vmap(fn)(
+            ks, X[:-1], U, X[1:]
+        )
     lf, lx_f, lxx_f = quadratize_terminal(model, ocp, stage, X[-1])
     return LqProblem(
         A=A, B=B, d=d, lx=lx, lu=lu, lxx=lxx, luu=luu, lux=lux,
