@@ -25,6 +25,9 @@ import numpy as np
 
 
 def main():
+    # Solver linear algebra needs true f32 matmuls; the TPU default (bf16
+    # operands) destroys the Riccati/Cholesky conditioning.
+    jax.config.update("jax_default_matmul_precision", "highest")
     b = int(os.environ.get("QM_BENCH_BATCH", "256"))
     reps = int(os.environ.get("QM_BENCH_REPS", "20"))
 
@@ -39,6 +42,8 @@ def main():
     dtype = jnp.float32
     model = aliengo_z1(dtype=dtype)
     cfg = default_config()
+    # chunk the per-node linearization to bound jacfwd workspace memory
+    cfg.sqp.lin_chunk = int(os.environ.get("QM_BENCH_LIN_CHUNK", "16"))
     ocp = make_ocp_config(model, cfg, dtype=dtype)
     solver = SqpSolver(model, ocp, cfg)
 

@@ -85,7 +85,10 @@ def _linesearch(model, ocp, stage, dt, X, U, dX, dU, cost0, viol0, settings):
         c, v = evaluate_trajectory(model, ocp, stage, dt, Xt, Ut)
         return c, v
 
-    costs, viols = jax.vmap(trial)(alphas)
+    # lax.map (not vmap): trial evaluations run sequentially so the merit
+    # sweep adds no peak memory on top of the linearization workspace — the
+    # alpha dimension multiplied straight into the OOM budget otherwise.
+    costs, viols = jax.lax.map(trial, alphas)
 
     g_max, g_min = settings.g_max, settings.g_min
     armijo = settings.armijo_factor
@@ -138,8 +141,11 @@ def sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, setti
     )
     # Always move the initial state to the measured one (the dx0 step is not
     # optional — OCS2 enforces the initial-state equality exactly).
-    X_new = X + alpha * dX
-    U_new = U + alpha * dU
+    # Guard the alpha = 0 (rejected step) case with where: a non-finite dX
+    # would otherwise poison the iterate via 0 * NaN.
+    take = alpha > 0.0
+    X_new = jnp.where(take, X + alpha * dX, X)
+    U_new = jnp.where(take, U + alpha * dU, U)
     X_new = X_new.at[0].set(x_init)
     return X_new, U_new, (cost_new, viol_new, alpha)
 
