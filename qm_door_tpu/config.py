@@ -36,7 +36,15 @@ class SqpSettings:
     # or "qr" (orthonormal basis); riccati "parallel" (associative scan,
     # O(log N) depth) or "scan" (sequential sweep)
     projection: str = "chol"
-    riccati: str = "parallel"
+    # riccati "scan" (sequential sweep — fastest at production batch sizes:
+    # cheap batched matmuls; the associative-scan "parallel" variant wins on
+    # single-scenario latency / very long horizons)
+    riccati: str = "scan"
+    # number of geometric linesearch candidates evaluated per iteration
+    # (the reference walks alpha down to 1e-2; warm-started MPC accepts
+    # alpha >= 0.125 essentially always, and a rejected step keeps the
+    # previous trajectory)
+    linesearch_steps: int = 4
     # >0: linearize nodes in chunks of this size (bounds jacfwd workspace
     # memory for large scenario batches); 0 = all nodes at once
     lin_chunk: int = 0

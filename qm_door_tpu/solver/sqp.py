@@ -76,7 +76,7 @@ def _linesearch(model, ocp, stage, dt, X, U, dX, dU, cost0, viol0, settings):
     """Filter-style linesearch over a fixed geometric alpha grid, evaluated in
     parallel (one batched trajectory evaluation instead of a sequential trial
     loop — same accept logic, TPU-friendly)."""
-    n_alpha = 8
+    n_alpha = getattr(settings, "linesearch_steps", 4)
     alphas = settings.max_step * (settings.step_reduction ** jnp.arange(n_alpha))
 
     def trial(alpha):
@@ -163,7 +163,8 @@ class _SqpSettingsStatic(NamedTuple):
     step_reduction: float
     hessian_shift: float
     projection: str = "chol"
-    riccati: str = "parallel"
+    riccati: str = "scan"
+    linesearch_steps: int = 4
     lin_chunk: int = 0
 
 
@@ -179,7 +180,8 @@ def _settings_static(cfg_sqp) -> "_SqpSettingsStatic":
         step_reduction=cfg_sqp.step_reduction,
         hessian_shift=cfg_sqp.hessian_shift,
         projection=getattr(cfg_sqp, "projection", "chol"),
-        riccati=getattr(cfg_sqp, "riccati", "parallel"),
+        riccati=getattr(cfg_sqp, "riccati", "scan"),
+        linesearch_steps=getattr(cfg_sqp, "linesearch_steps", 4),
         lin_chunk=getattr(cfg_sqp, "lin_chunk", 0),
     )
 

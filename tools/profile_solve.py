@@ -18,6 +18,7 @@ import numpy as np
 
 
 def main():
+    jax.config.update("jax_default_matmul_precision", "highest")
     b = int(os.environ.get("QM_PROF_BATCH", "128"))
     from qm_door_tpu.config import default_config
     from qm_door_tpu.models import aliengo_z1, kinematics, spatial
