@@ -254,13 +254,15 @@ def _cone_derivs(ocp: OcpConfig, F):
     return dh, H
 
 
-def quadratize_stage(model: RobotModel, ocp: OcpConfig, stage: StageData, k, x, u):
+def quadratize_stage(model: RobotModel, ocp: OcpConfig, stage: StageData, k, x, u,
+                     ee_lin=None):
     """(l, lx, lu, lxx, luu, lux) of the stage cost at (x, u).
 
     Exact for the quadratic tracking term and the barrier terms (analytic
     second derivatives, matching OCS2's Quadratic-order FrictionConeConstraint
     and SoftBoxConstraint); Gauss-Newton for the EE penalty (OCS2 Linear-order
-    soft constraint behavior).
+    soft constraint behavior). ``ee_lin``: optional precomputed (e, Je) from a
+    fused linearization pipeline.
     """
     dtype = x.dtype
     dx = x - stage.x_nom[k]
@@ -274,11 +276,14 @@ def quadratize_stage(model: RobotModel, ocp: OcpConfig, stage: StageData, k, x, 
     lux = jnp.zeros((30, 30), dtype=dtype)
 
     # EE penalty (Gauss-Newton on the 6-dim error)
-    err_fn = partial(
-        _ee_error, model, ocp, ee_pos_ref=stage.ee_pos_ref[k], ee_quat_ref=stage.ee_quat_ref[k]
-    )
-    e = err_fn(x)
-    Je = jax.jacfwd(err_fn)(x)  # (6,30)
+    if ee_lin is None:
+        err_fn = partial(
+            _ee_error, model, ocp, ee_pos_ref=stage.ee_pos_ref[k], ee_quat_ref=stage.ee_quat_ref[k]
+        )
+        e = err_fn(x)
+        Je = jax.jacfwd(err_fn)(x)  # (6,30)
+    else:
+        e, Je = ee_lin
     w = jnp.concatenate(
         [jnp.full(3, ocp.ee_mu_position, dtype=dtype), jnp.full(3, ocp.ee_mu_orientation, dtype=dtype)]
     )

@@ -94,8 +94,11 @@ class ProjectedLq:
     Px: jnp.ndarray    # (N, 30, 30)
 
 
-def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_next):
-    """All per-node quantities (vmapped over k)."""
+def _node_linearization_reference(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_next):
+    """Straightforward per-node linearization (independent AD pipelines).
+
+    Kept as the correctness reference for the fused fast path below.
+    """
     step = partial(rk2_step, model, dt=dt)
     xn = step(x, u)
     A = jax.jacfwd(step, argnums=0)(x, u)
@@ -106,6 +109,83 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
 
     g0, Gx, Gv = cons.velocity_constraint_linearization(
         model, x, u, stage.contact_flags[k], stage.z_vel_ref[k]
+    )
+    return A, B, d, dt * l, dt * lx, dt * lu, dt * lxx, dt * luu, dt * lux, g0, Gx, Gv
+
+
+def _flow_force_cols(model, x):
+    """Analytic d(flow_map)/dF (30, 12): forces enter only the momentum-rate
+    rows, with d hdot_lin/dF_i = I/m and d hdot_ang/dF_i = skew(p_ci - com)/m."""
+    from ..models import dynamics as dyn
+    from ..models import kinematics as kin
+    from ..models import spatial
+
+    q = centroidal.pinocchio_q(x)
+    m = jnp.sum(model.body_mass)
+    p_c = kin.contact_positions(model, q)           # (4,3)
+    com = dyn.com_position(model, q)
+    eye = jnp.eye(3, dtype=x.dtype)
+    lin = jnp.concatenate([eye / m] * 4, axis=1)    # (3,12)
+    ang = jnp.concatenate(
+        [spatial.skew(p_c[i] - com) / m for i in range(4)], axis=1
+    )                                               # (3,12)
+    zeros = jnp.zeros((24, 12), dtype=x.dtype)
+    return jnp.concatenate([lin, ang, zeros], axis=0)
+
+
+def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_next):
+    """Fused fast-path per-node linearization.
+
+    One jacfwd pipeline shares the FK/CMM tangent work between the dynamics,
+    the velocity equality constraints and the EE-error Jacobian; the force
+    columns of d(flow)/du are filled analytically (forces only enter the
+    momentum-rate rows), cutting the tangent count from 60 to 48. Verified
+    against _node_linearization_reference in tests.
+    """
+    from ..ocp.problem import _ee_error
+
+    F_bar = u[0:12]
+    flags = stage.contact_flags[k]
+    zref = stage.z_vel_ref[k]
+    nx = 30
+
+    def stage1(xz):
+        x_, vj = xz[:nx], xz[nx:]
+        u_ = jnp.concatenate([F_bar, vj])
+        f1 = centroidal.flow_map(model, x_, u_)
+        g = cons.velocity_constraint(model, x_, u_, flags, zref)
+        e = _ee_error(model, ocp, x_, stage.ee_pos_ref[k], stage.ee_quat_ref[k])
+        return jnp.concatenate([f1, g, e])
+
+    xz = jnp.concatenate([x, u[12:30]])
+    out1, jvp1 = jax.linearize(stage1, xz)
+    J1 = jax.vmap(jvp1)(jnp.eye(48, dtype=x.dtype)).T   # (48, 48)
+    f1, g0, e = out1[:30], out1[30:42], out1[42:48]
+    df1_dx, df1_dvj = J1[:30, :30], J1[:30, 30:]
+    Gx, Gv = J1[30:42, :30], J1[30:42, 30:]
+    Je = J1[42:48, :30]
+    df1_du = jnp.concatenate([_flow_force_cols(model, x), df1_dvj], axis=1)
+
+    x2 = x + dt * f1
+
+    def stage2(xz2):
+        x_, vj = xz2[:nx], xz2[nx:]
+        return centroidal.flow_map(model, x_, jnp.concatenate([F_bar, vj]))
+
+    xz2 = jnp.concatenate([x2, u[12:30]])
+    f2, jvp2 = jax.linearize(stage2, xz2)
+    J2 = jax.vmap(jvp2)(jnp.eye(48, dtype=x.dtype)).T
+    df2_dx2, df2_dvj = J2[:, :30], J2[:, 30:]
+    df2_du = jnp.concatenate([_flow_force_cols(model, x2), df2_dvj], axis=1)
+
+    # RK2 (Heun) discrete sensitivities: Phi = x + dt/2 (f1 + f2(x + dt f1, u))
+    eye30 = jnp.eye(30, dtype=x.dtype)
+    A = eye30 + 0.5 * dt * (df1_dx + df2_dx2 @ (eye30 + dt * df1_dx))
+    B = 0.5 * dt * (df1_du + df2_du + dt * (df2_dx2 @ df1_du))
+    d = x + 0.5 * dt * (f1 + f2) - x_next
+
+    l, lx, lu, lxx, luu, lux = quadratize_stage(
+        model, ocp, stage, k, x, u, ee_lin=(e, Je)
     )
     return A, B, d, dt * l, dt * lx, dt * lu, dt * lxx, dt * luu, dt * lux, g0, Gx, Gv
 

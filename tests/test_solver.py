@@ -203,3 +203,29 @@ def test_projection_backends_equivalent(mpc_setup, rng):
     dX2, dU2, _, _ = lqr_solve(plq_ch, dx0)
     np.testing.assert_allclose(dU1, dU2, atol=1e-6)
     np.testing.assert_allclose(dX1, dX2, atol=1e-6)
+
+
+def test_fused_linearization_matches_reference(mpc_setup):
+    """The fused (shared-pipeline, analytic force columns) node linearization
+    must match the straightforward per-pipeline reference exactly."""
+    import jax
+    from qm_door_tpu.solver.transcription import (
+        _node_linearization,
+        _node_linearization_reference,
+    )
+
+    model, cfg, ocp, solver, x0, targets = mpc_setup
+    sched = GaitSchedule()
+    sched.insert_template(GAIT_LIBRARY["trot"], 0.0, 3.0)
+    stage = build_stage_data(model, cfg, sched, targets, 0.0)
+    X, U = solver.cold_start(stage, x0)
+    # perturb so nothing is at a special point
+    rng_l = np.random.default_rng(3)
+    X = X + jnp.asarray(rng_l.normal(size=X.shape) * 0.01)
+    U = U + jnp.asarray(rng_l.normal(size=U.shape) * 1.0)
+
+    for k in [0, 7, 40]:
+        fused = _node_linearization(model, ocp, stage, cfg.sqp.dt, k, X[k], U[k], X[k + 1])
+        ref = _node_linearization_reference(model, ocp, stage, cfg.sqp.dt, k, X[k], U[k], X[k + 1])
+        for a, b in zip(fused, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
