@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Batched closed-loop rollout throughput on the attached TPU.
+
+The domain-randomized MPC-as-policy workload (BASELINE config #5): B
+scenarios x T MPC cycles of the full stack on device. Reports cycles/s,
+scenario-seconds of simulation per wall second, and the survivor count.
+
+Usage: QM_ROLLOUT_BATCH=64 QM_ROLLOUT_CYCLES=20 python tools/rollout_bench.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    jax.config.update("jax_default_matmul_precision", "highest")
+    b = int(os.environ.get("QM_ROLLOUT_BATCH", "64"))
+    cycles = int(os.environ.get("QM_ROLLOUT_CYCLES", "20"))
+
+    from qm_door_tpu.config import default_config
+    from qm_door_tpu.models import aliengo_z1, centroidal, kinematics, spatial
+    from qm_door_tpu.ocp.gait import GAIT_LIBRARY, GaitSchedule
+    from qm_door_tpu.ocp.problem import make_ocp_config
+    from qm_door_tpu.ocp.reference import TargetTrajectories
+    from qm_door_tpu.sim.batched_rollout import BatchedClosedLoop, stack_stages
+    from qm_door_tpu.sim.sim import SimConfig
+    from qm_door_tpu.solver.sqp import SqpSolver
+
+    dtype = jnp.float32
+    model = aliengo_z1(dtype=dtype)
+    cfg = default_config()
+    cfg.sqp.lin_chunk = 16
+    ocp = make_ocp_config(model, cfg, dtype=dtype)
+    solver = SqpSolver(model, ocp, cfg)
+
+    x0 = jnp.asarray(cfg.initial_state(), dtype=dtype)
+    R_ee, p_ee = kinematics.ee_pose(model, x0[6:30])
+    quat = spatial.rot_to_quat(R_ee)
+    tstate = jnp.concatenate([x0, p_ee, quat])
+    targets = TargetTrajectories.create(
+        jnp.array([0.0, 1e5], dtype=dtype), jnp.stack([tstate, tstate]),
+        jnp.zeros((2, 30), dtype=dtype))
+    sched = GaitSchedule()
+    sched.insert_template(GAIT_LIBRARY["trot"], 0.0, 60.0)
+
+    sim_cfg = SimConfig()
+    mpc_decim = 10
+    loop = BatchedClosedLoop(model, cfg, solver, sim_cfg, 2, mpc_decim)
+    stages = stack_stages(model, cfg, sched, targets, 0.0, cycles,
+                          mpc_decim * sim_cfg.dt, dtype)
+
+    rng = np.random.default_rng(0)
+    q0 = centroidal.pinocchio_q(x0)
+    feet_z = float(jnp.mean(kinematics.contact_positions(model, q0)[:, 2]))
+    q0 = q0.at[2].add(-feet_z)
+    q0b = jnp.asarray(
+        np.asarray(q0)[None] + rng.normal(size=(b, 24)) * 0.01, dtype=dtype
+    )
+
+    stage0 = jax.tree.map(lambda x: x[0], stages)
+    carry = loop.init_carry(stage0, q0b)
+
+    print("compiling batched rollout ...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    carry_out, log = loop.run(stages, carry)
+    jax.block_until_ready(carry_out.sim.q)
+    compile_s = time.time() - t0
+    print(f"compiled+ran in {compile_s:.1f}s", file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    carry_out, log = loop.run(stages, carry)
+    jax.block_until_ready(carry_out.sim.q)
+    elapsed = time.time() - t0
+
+    sim_seconds = b * cycles * mpc_decim * sim_cfg.dt
+    alive = int(np.asarray(carry_out.alive).sum())
+    print(json.dumps({
+        "metric": "closed_loop_scenario_sim_s_per_wall_s",
+        "value": round(sim_seconds / elapsed, 2),
+        "unit": "sim-s/s",
+        "batch": b,
+        "cycles": cycles,
+        "wall_s": round(elapsed, 2),
+        "mpc_solves_per_s": round(b * cycles / elapsed, 1),
+        "alive": alive,
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
