@@ -52,13 +52,18 @@ class ClosedLoopRunner:
         sim_cfg: SimConfig = SimConfig(),
         control_decimation: int = 2,   # physics steps per control tick (500 Hz)
         mpc_decimation: int = 10,      # physics steps per MPC solve (100 Hz)
+        solver: Optional[SqpSolver] = None,
     ):
         self.model = model
         self.cfg = cfg
         self.sim_cfg = sim_cfg
         self.schedule = schedule or GaitSchedule()
-        self.ocp = make_ocp_config(model, cfg)
-        self.solver = SqpSolver(model, self.ocp, cfg)
+        if solver is None:
+            self.ocp = make_ocp_config(model, cfg)
+            self.solver = SqpSolver(model, self.ocp, cfg)
+        else:
+            self.ocp = solver.ocp
+            self.solver = solver
         self.controller = QmController(model, cfg)
         self.control_decimation = control_decimation
         self.mpc_decimation = mpc_decimation

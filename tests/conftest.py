@@ -45,3 +45,27 @@ def random_q(rng, scale=0.5):
 
 def random_v(rng, scale=1.0):
     return rng.normal(size=24) * scale
+
+
+@pytest.fixture(scope="session")
+def mpc_stack(model):
+    """Shared full-horizon MPC stack: building a SqpSolver per test module
+    recompiles the whole solve graph; share one instance session-wide."""
+    import jax.numpy as jnp
+    from qm_door_tpu.config import default_config
+    from qm_door_tpu.models import kinematics, spatial
+    from qm_door_tpu.ocp.problem import make_ocp_config
+    from qm_door_tpu.ocp.reference import TargetTrajectories
+    from qm_door_tpu.solver.sqp import SqpSolver
+
+    cfg = default_config()
+    ocp = make_ocp_config(model, cfg)
+    solver = SqpSolver(model, ocp, cfg)
+    x0 = jnp.asarray(cfg.initial_state())
+    R_ee, p_ee = kinematics.ee_pose(model, x0[6:30])
+    quat = spatial.rot_to_quat(R_ee)
+    tstate = jnp.concatenate([x0, p_ee, quat])
+    targets = TargetTrajectories.create(
+        jnp.array([0.0, 1e5]), jnp.stack([tstate, tstate]), jnp.zeros((2, 30))
+    )
+    return model, cfg, ocp, solver, x0, targets

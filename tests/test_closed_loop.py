@@ -22,21 +22,21 @@ def _hold_targets(model, cfg):
     )
 
 
-@pytest.fixture(scope="module")
-def setup():
-    model = aliengo_z1()
+@pytest.fixture()
+def setup(mpc_stack):
+    model, cfg0, ocp, solver, x0, targets = mpc_stack
     cfg = default_config()
     # command legs from t = 0 in simulation (the reference's 10 s gate is a
     # Gazebo bring-up artifact)
     cfg.controller.leg_pd_start_time = -1.0
     cfg.wbc.arm_init_time = -1.0
-    return model, cfg
+    return model, cfg, solver
 
 
 @pytest.mark.slow
 def test_stance_hold_half_second(setup):
-    model, cfg = setup
-    runner = ClosedLoopRunner(model, cfg)
+    model, cfg, solver = setup
+    runner = ClosedLoopRunner(model, cfg, solver=solver)
     log = runner.run(_hold_targets(model, cfg), duration=0.5)
     assert log.safe
     base = np.stack(log.base_pose)
@@ -51,10 +51,10 @@ def test_stance_hold_half_second(setup):
 
 @pytest.mark.slow
 def test_trot_one_second(setup):
-    model, cfg = setup
+    model, cfg, solver = setup
     sched = GaitSchedule()
     sched.insert_template(GAIT_LIBRARY["trot"], 0.0, 5.0)
-    runner = ClosedLoopRunner(model, cfg, schedule=sched)
+    runner = ClosedLoopRunner(model, cfg, schedule=sched, solver=solver)
     log = runner.run(_hold_targets(model, cfg), duration=1.0)
     assert log.safe
     base = np.stack(log.base_pose)

@@ -91,26 +91,9 @@ def test_riccati_matches_dense_kkt(rng):
     np.testing.assert_allclose(dU_red, dU_ref, atol=1e-8)
 
 
-@pytest.fixture(scope="module")
-def mpc_setup():
-    from qm_door_tpu.models import aliengo_z1
-
-    model = aliengo_z1()
-    cfg = default_config()
-    ocp = make_ocp_config(model, cfg)
-    solver = sqp_mod.SqpSolver(model, ocp, cfg)
-
-    x0 = jnp.asarray(cfg.initial_state())
-    from qm_door_tpu.models import kinematics, spatial
-
-    R_ee, p_ee = kinematics.ee_pose(model, x0[6:30])
-    quat = spatial.rot_to_quat(R_ee)
-    target_state = jnp.concatenate([x0, p_ee, quat])
-    targets = TargetTrajectories.create(
-        jnp.array([0.0, 1e5]), jnp.stack([target_state, target_state]),
-        jnp.zeros((2, 30)),
-    )
-    return model, cfg, ocp, solver, x0, targets
+@pytest.fixture()
+def mpc_setup(mpc_stack):
+    return mpc_stack
 
 
 def test_projection_satisfies_constraints(mpc_setup, rng):
