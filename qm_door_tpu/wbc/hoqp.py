@@ -34,12 +34,14 @@ class Task(NamedTuple):
     f: jnp.ndarray
 
 
-def null_space_masked(M, rel_tol=1e-9):
+def null_space_masked(M, rel_tol=None):
     """Full-width (n x n) null-space basis of M (m x n) with column mask.
 
     Columns of the returned Z span null(M); columns corresponding to the row
     space are exactly zero (masked), keeping shapes static.
     """
+    if rel_tol is None:
+        rel_tol = 1e-5 if M.dtype == jnp.float32 else 1e-9
     u, s, vt = jnp.linalg.svd(M, full_matrices=True)
     n = M.shape[1]
     k = s.shape[0]
@@ -49,7 +51,7 @@ def null_space_masked(M, rel_tol=1e-9):
     return vt.T * mask[None, :]
 
 
-def solve_hierarchy(tasks: Sequence[Task], qp_iters: int = 30, null_tol: float = 1e-9):
+def solve_hierarchy(tasks: Sequence[Task], qp_iters: int = 30, null_tol=None):
     """Solve the priority cascade. Returns the primal solution x (n,).
 
     ``tasks`` is ordered highest priority first (task0, task1, task2, ...).
@@ -64,8 +66,9 @@ def solve_hierarchy(tasks: Sequence[Task], qp_iters: int = 30, null_tol: float =
         A, b, D, f = task
         nv = D.shape[0]
         AZ = A @ Z
-        col_live = (jnp.linalg.norm(Z, axis=0) > 1e-12).astype(dtype)
-        H_zz = AZ.T @ AZ + jnp.diag(1.0 - col_live) + 1e-9 * jnp.eye(n, dtype=dtype)
+        col_live = (jnp.linalg.norm(Z, axis=0) > 1e-8).astype(dtype)
+        h_reg = 1e-5 if dtype == jnp.float32 else 1e-9
+        H_zz = AZ.T @ AZ + jnp.diag(1.0 - col_live) + h_reg * jnp.eye(n, dtype=dtype)
         c_z = AZ.T @ (A @ x - b)
 
         # decision vars [z (n); v (nv)]

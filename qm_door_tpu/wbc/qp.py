@@ -23,10 +23,31 @@ def solve_qp(H, c, G, h, iters: int = 30):
     """Solve min 1/2 z'Hz + c'z s.t. Gz <= h. Returns (z, lam, s).
 
     H must be positive definite (callers add regularization on padded dims).
+    The problem is Jacobi-equilibrated internally (variable scaling from
+    diag(H), constraint-row normalization) — WBC task stacks mix units across
+    five orders of magnitude and f32 needs the conditioning headroom.
     """
     n = H.shape[0]
     m = G.shape[0]
     dtype = H.dtype
+    f32 = dtype == jnp.float32
+    # dtype-aware guards: the f64 constants underflow/overwhelm f32 —
+    # 1e-300 flushes to 0 (division blowup) and mu below ~1e-6 is noise.
+    mu_tol = 3e-6 if f32 else 1e-13
+    tiny = 1e-25 if f32 else 1e-300
+    w_max = 1e6 if f32 else 1e12
+    jitter = 1e-6 if f32 else 1e-11
+
+    # --- Jacobi equilibration: z = D z~, rows of G scaled by E ------------
+    dH = jnp.diagonal(H)
+    d = 1.0 / jnp.sqrt(jnp.maximum(dH, 1e-4 * jnp.maximum(jnp.max(dH), 1.0)))
+    H = H * d[:, None] * d[None, :]
+    c = c * d
+    Gd = G * d[None, :]
+    row_norm = jnp.linalg.norm(Gd, axis=1)
+    e = 1.0 / jnp.maximum(row_norm, 1.0)
+    G = Gd * e[:, None]
+    h = h * e
 
     z = jnp.zeros(n, dtype=dtype)
     s = jnp.ones(m, dtype=dtype)
@@ -35,27 +56,28 @@ def solve_qp(H, c, G, h, iters: int = 30):
     def body(_, carry):
         z, s, lam = carry
         mu = jnp.dot(lam, s) / m
-        # Freeze once converged: s, lam underflow past ~1e-16 and the scaled
-        # Newton system turns to NaN if iterated further.
-        proceed = mu > 1e-13
+        # Freeze once converged: s, lam underflow and the scaled Newton
+        # system turns to NaN if iterated further.
+        proceed = mu > mu_tol
         sigma = 0.1
         target = sigma * mu
 
         r_d = H @ z + c + G.T @ lam
         r_p = G @ z + s - h
 
-        w = lam / jnp.maximum(s, 1e-300)  # (m,)
+        s_safe = jnp.maximum(s, tiny)
+        w = jnp.clip(lam / s_safe, 0.0, w_max)  # (m,)
         # Eliminate (ds, dlam):
         #   ds = -r_p - G dz
         #   dlam = (target - lam*s - lam*ds)/s = (target/s - lam) + w (r_p + G dz)
         # KKT: H dz + G' dlam = -r_d
         #   => (H + G' W G) dz = -r_d - G'(target/s - lam + w r_p)
         M = H + G.T @ (w[:, None] * G)
-        rhs = -r_d - G.T @ (target / s - lam + w * r_p)
-        chol = jax.scipy.linalg.cho_factor(M + 1e-11 * jnp.eye(n, dtype=dtype))
+        rhs = -r_d - G.T @ (target / s_safe - lam + w * r_p)
+        chol = jax.scipy.linalg.cho_factor(M + jitter * jnp.eye(n, dtype=dtype))
         dz = jax.scipy.linalg.cho_solve(chol, rhs)
         ds = -r_p - G @ dz
-        dlam = target / s - lam - w * ds
+        dlam = target / s_safe - lam - w * ds
 
         # fraction-to-boundary
         tau = 0.995
@@ -71,4 +93,5 @@ def solve_qp(H, c, G, h, iters: int = 30):
         return z, s, lam
 
     z, s, lam = jax.lax.fori_loop(0, iters, body, (z, s, lam))
-    return z, lam, s
+    # undo equilibration: primal z = D z~, dual lam = E lam~, slack s = s~/E
+    return d * z, e * lam, s / jnp.maximum(e, tiny)
