@@ -8,8 +8,15 @@ seconds of trotting on flat ground and renders the trajectory.
 """
 import sys
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 
+# demos run the CPU-reference configuration (f64)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp

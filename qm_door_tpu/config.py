@@ -143,7 +143,7 @@ class WbcSettings:
     swing_task_weight: float = 100.0
     arm_init_time: float = 10.0  # HierarchicalWbc switches taskInit->task1 at t=10
     # dense-QP solver
-    qp_iterations: int = 20
+    qp_iterations: int = 30
 
 
 @dataclass

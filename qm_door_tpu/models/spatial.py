@@ -109,9 +109,17 @@ def zyx_rates_to_world_angvel_matrix(zyx):
 
 
 def world_angvel_to_zyx_rates(zyx, omega_world):
-    """Inverse chart map: d/dt(zyx) = E(zyx)^-1 omega_world."""
-    E = zyx_rates_to_world_angvel_matrix(zyx)
-    return jnp.linalg.solve(E, omega_world[..., None])[..., 0]
+    """Inverse chart map: d/dt(zyx) = E(zyx)^-1 omega_world (analytic inverse;
+    singular at pitch = +-pi/2 like every ZYX chart)."""
+    z, y = zyx[..., 0], zyx[..., 1]
+    cz, sz = jnp.cos(z), jnp.sin(z)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    inv_cy = 1.0 / cy
+    row0 = jnp.stack([cz * sy * inv_cy, sz * sy * inv_cy, jnp.ones_like(z)], axis=-1)
+    row1 = jnp.stack([-sz, cz, jnp.zeros_like(z)], axis=-1)
+    row2 = jnp.stack([cz * inv_cy, sz * inv_cy, jnp.zeros_like(z)], axis=-1)
+    Einv = jnp.stack([row0, row1, row2], axis=-2)
+    return (Einv @ omega_world[..., None])[..., 0]
 
 
 def zyx_rates_to_world_angvel(zyx, zyx_rates):

@@ -135,7 +135,13 @@ def sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, setti
     else:
         dX, dU, K, kff = lqr_solve(plq, dx0)
 
-    cost0, viol0 = evaluate_trajectory(model, ocp, stage, dt, X, U)
+    # Baseline merit comes free from the linearization byproducts: lq.cost is
+    # the exact current cost, lq.d the RK2 defects, lq.g0 the masked velocity
+    # equalities; only the swing zero-force term needs recomputing.
+    cost0 = lq.cost
+    swing = 1.0 - jnp.repeat(stage.contact_flags[: U.shape[0]], 3, axis=-1)
+    zero_force_sse = jnp.sum((swing * U[:, 0:12]) ** 2)
+    viol0 = jnp.sum(lq.d * lq.d) + jnp.sum(lq.g0 * lq.g0) + zero_force_sse
     alpha, cost_new, viol_new = _linesearch(
         model, ocp, stage, dt, X, U, dX, dU, cost0, viol0, settings
     )

@@ -33,14 +33,16 @@ def solve_qp(H, c, G, h, iters: int = 30):
     f32 = dtype == jnp.float32
     # dtype-aware guards: the f64 constants underflow/overwhelm f32 —
     # 1e-300 flushes to 0 (division blowup) and mu below ~1e-6 is noise.
-    mu_tol = 3e-6 if f32 else 1e-13
+    mu_tol = 1e-5 if f32 else 1e-10
     tiny = 1e-25 if f32 else 1e-300
     w_max = 1e6 if f32 else 1e12
     jitter = 1e-6 if f32 else 1e-11
 
     # --- Jacobi equilibration: z = D z~, rows of G scaled by E ------------
     dH = jnp.diagonal(H)
-    d = 1.0 / jnp.sqrt(jnp.maximum(dH, 1e-4 * jnp.maximum(jnp.max(dH), 1.0)))
+    # absolute floor only: unit-scaled variables (slacks) keep d = 1, while
+    # the 1e4..1e6 task-Gram diagonals get compressed toward unity
+    d = 1.0 / jnp.sqrt(jnp.maximum(dH, 1e-8))
     H = H * d[:, None] * d[None, :]
     c = c * d
     Gd = G * d[None, :]
@@ -87,9 +89,12 @@ def solve_qp(H, c, G, h, iters: int = 30):
             return jnp.minimum(1.0, tau * jnp.min(ratio))
 
         alpha = jnp.minimum(max_step(s, ds), max_step(lam, dlam))
-        z = jnp.where(proceed, z + alpha * dz, z)
-        s = jnp.where(proceed, s + alpha * ds, s)
-        lam = jnp.where(proceed, lam + alpha * dlam, lam)
+        # reject non-finite Newton steps (degenerate complementarity can blow
+        # up the scaled system right at convergence)
+        ok = proceed & jnp.isfinite(dz).all() & jnp.isfinite(ds).all() & jnp.isfinite(dlam).all()
+        z = jnp.where(ok, z + alpha * dz, z)
+        s = jnp.where(ok, s + alpha * ds, s)
+        lam = jnp.where(ok, lam + alpha * dlam, lam)
         return z, s, lam
 
     z, s, lam = jax.lax.fori_loop(0, iters, body, (z, s, lam))
