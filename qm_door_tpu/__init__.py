@@ -19,3 +19,14 @@ for a Unitree AlienGo + Z1 arm):
 """
 
 __version__ = "0.1.0"
+
+# Solver-chain correctness requires true f32 matmuls: the TPU default feeds
+# bf16 operands to the MXU, which breaks Riccati/Cholesky conditioning and
+# stalls the SQP (rejected steps). Opt out with QM_ALLOW_BF16_MATMUL=1 if you
+# co-locate workloads that want the fast path and handle precision yourself.
+import os as _os
+
+if _os.environ.get("QM_ALLOW_BF16_MATMUL") != "1":
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "highest")
