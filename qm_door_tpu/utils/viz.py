@@ -58,6 +58,50 @@ def plot_closed_loop(log, path="closed_loop.png", title="qm_door_tpu closed loop
     return path
 
 
+def plot_support_and_footholds(model, q_traj, flags_traj, path="support.png"):
+    """Top-down view: foot positions colored by contact, base path, support
+    polygons at sampled instants (QmVisualizer support-polygon/foothold role)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..models import kinematics
+
+    import jax
+    import jax.numpy as jnp
+
+    q_traj = jnp.asarray(q_traj)
+    feet = jax.vmap(lambda q: kinematics.contact_positions(model, q))(q_traj)
+    feet = np.asarray(feet)  # (T, 4, 3)
+    flags = np.asarray(flags_traj)
+    base = np.asarray(q_traj[:, 0:2])
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    ax.plot(base[:, 0], base[:, 1], "k-", lw=1.5, label="base path")
+    colors = ["tab:blue", "tab:orange", "tab:green", "tab:red"]
+    names = ["LF", "RF", "LH", "RH"]
+    for i in range(4):
+        stance = flags[:, i] > 0.5
+        ax.scatter(feet[stance, i, 0], feet[stance, i, 1], s=6, c=colors[i],
+                   label=f"{names[i]} stance")
+        ax.scatter(feet[~stance, i, 0], feet[~stance, i, 1], s=3, c=colors[i],
+                   alpha=0.2)
+    # support polygons at a few instants
+    for t in range(0, len(q_traj), max(1, len(q_traj) // 6)):
+        pts = feet[t, flags[t] > 0.5][:, :2]
+        if len(pts) >= 3:
+            hull = pts[np.argsort(np.arctan2(*(pts - pts.mean(0)).T[::-1]))]
+            ax.fill(hull[:, 0], hull[:, 1], alpha=0.08, color="gray")
+    ax.set_aspect("equal")
+    ax.legend(fontsize=8)
+    ax.set_title("footholds + support polygons")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
 def plot_solution(times, X, U, path="mpc_solution.png"):
     """Plot one MPC solution: optimized base trajectory + contact forces
     (QmVisualizer::publishOptimizedStateTrajectory role)."""

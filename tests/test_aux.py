@@ -98,3 +98,21 @@ def test_sim_step_on_step_terrain():
     for _ in range(50):
         st = sim_step(model, sc, st, cmd)
     assert bool(jnp.isfinite(st.q).all())
+
+
+def test_viz_renders(tmp_path, model):
+    import jax.numpy as jnp
+    from qm_door_tpu.utils.viz import plot_solution, plot_support_and_footholds
+
+    times = np.linspace(0, 1, 11)
+    X = np.zeros((11, 30)); X[:, 8] = 0.4
+    U = np.zeros((10, 30)); U[:, 2] = 68.0
+    p1 = plot_solution(times, X, U, str(tmp_path / "sol.png"))
+    assert (tmp_path / "sol.png").exists()
+
+    from qm_door_tpu.config import default_config
+    q = np.tile(np.asarray(default_config().initial_state())[6:30], (8, 1))
+    q[:, 0] = np.linspace(0, 0.5, 8)
+    flags = np.ones((8, 4)); flags[::2, 1] = 0
+    p2 = plot_support_and_footholds(model, q, flags, str(tmp_path / "sup.png"))
+    assert (tmp_path / "sup.png").exists()
