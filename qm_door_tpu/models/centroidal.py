@@ -52,6 +52,12 @@ def pinocchio_q(x):
     return x[..., 6:30]
 
 
+def _base_velocity_from_cmm(model: RobotModel, A, x, u):
+    m = jnp.sum(model.body_mass)
+    rhs = m * normalized_momentum(x) - A[:, 6:] @ joint_velocities(u)
+    return jnp.linalg.solve(A[:, :6], rhs)
+
+
 @jax.jit
 def base_velocity(model: RobotModel, x, u):
     """Floating-base generalized velocity [v_world; zyx rates] from momentum.
@@ -60,9 +66,7 @@ def base_velocity(model: RobotModel, x, u):
     """
     q = pinocchio_q(x)
     A = centroidal_momentum_matrix(model, q)
-    m = jnp.sum(model.body_mass)
-    rhs = m * normalized_momentum(x) - A[:, 6:] @ joint_velocities(u)
-    return jnp.linalg.solve(A[:, :6], rhs)
+    return _base_velocity_from_cmm(model, A, x, u)
 
 
 @jax.jit
@@ -74,16 +78,30 @@ def pinocchio_v(model: RobotModel, x, u):
 @jax.jit
 def flow_map(model: RobotModel, x, u):
     """xdot = f(x, u): the centroidal dynamics flow map
-    (PinocchioCentroidalDynamicsAD equivalent, QMDynamicsAD.cpp:22-33)."""
+    (PinocchioCentroidalDynamicsAD equivalent, QMDynamicsAD.cpp:22-33).
+
+    One shared FK pass feeds the contact positions, the com and the CMM —
+    this function sits under jacfwd in the solver hot loop, so duplicated
+    kinematics would multiply straight into the tangent cost.
+    """
+    from .dynamics import cmm_from_fk
+    from .kinematics import frame_placements, joint_world_axes
+
     q = pinocchio_q(x)
     m = jnp.sum(model.body_mass)
     F = contact_forces(u)
-    p_c = contact_positions(model, q)
-    com = com_position(model, q)
+
+    axes, origins, (R, p) = joint_world_axes(model, q)
+    _, pf = frame_placements(model, q, fk_out=(R, p))
+    p_c = jnp.stack([pf[i] for i in model.contact_frame_ids])
+    coms = jnp.einsum("bij,bj->bi", R, model.body_com) + p
+    com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / m
+    A = cmm_from_fk(model, q, axes, origins, R, p)
+
     g = jnp.array([0.0, 0.0, -GRAVITY], dtype=x.dtype)
     hdot_lin = jnp.sum(F, axis=0) / m + g
     hdot_ang = jnp.sum(jnp.cross(p_c - com, F), axis=0) / m
-    v_b = base_velocity(model, x, u)
+    v_b = _base_velocity_from_cmm(model, A, x, u)
     return jnp.concatenate([hdot_lin, hdot_ang, v_b, joint_velocities(u)])
 
 

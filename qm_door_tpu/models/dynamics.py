@@ -119,6 +119,11 @@ def centroidal_momentum_matrix(model: RobotModel, q):
     from .kinematics import joint_world_axes
 
     axes, origins, (R, p) = joint_world_axes(model, q)
+    return cmm_from_fk(model, q, axes, origins, R, p)
+
+
+def cmm_from_fk(model: RobotModel, q, axes, origins, R, p):
+    """CMM assembly from precomputed FK (shared-FK fast path for the flow map)."""
     m = model.body_mass
     coms = jnp.einsum("bij,bj->bi", R, model.body_com) + p          # (19,3)
     Iw = jnp.einsum("bij,bjk,blk->bil", R, model.body_inertia, R)   # (19,3,3)

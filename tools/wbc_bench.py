@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Batched WBC throughput on the attached TPU (the reference's 'WBC QP us'
+metric: qpOASES solves 3 dense QPs in ~1-2 ms per 500 Hz tick on CPU;
+here B ticks solve in parallel).
+
+Usage: QM_WBC_BATCH=512 python tools/wbc_bench.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    b = int(os.environ.get("QM_WBC_BATCH", "512"))
+    reps = int(os.environ.get("QM_WBC_REPS", "20"))
+
+    from qm_door_tpu.config import default_config
+    from qm_door_tpu.models import aliengo_z1, centroidal
+    from qm_door_tpu.wbc.wbc import WbcState, hierarchical_wbc
+
+    dtype = jnp.float32
+    model = aliengo_z1(dtype=dtype)
+    cfg = default_config()
+    x0 = jnp.asarray(cfg.initial_state(), dtype=dtype)
+    q0 = centroidal.pinocchio_q(x0)
+    rbd = centroidal.rbd_from_generalized(model, q0, jnp.zeros(24, dtype=dtype))
+    flags = jnp.asarray([1.0, 0.0, 0.0, 1.0], dtype=dtype)
+    u_des = centroidal.weight_compensating_input(model, flags)
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(np.asarray(x0)[None] + rng.normal(size=(b, 30)) * 0.01, dtype=dtype)
+    us = jnp.tile(u_des[None], (b, 1))
+    rbds = jnp.tile(rbd[None], (b, 1))
+    flagss = jnp.tile(flags[None], (b, 1))
+
+    @jax.jit
+    def batched_tick(xs, us, rbds, flagss):
+        def one(x, u, r, f):
+            cmd, _ = hierarchical_wbc(
+                model, cfg.wbc, x, u, r, f, WbcState.init(dtype=dtype), 0.002,
+                use_arm_init=False,
+            )
+            return cmd
+
+        return jax.vmap(one)(xs, us, rbds, flagss)
+
+    t0 = time.time()
+    out = batched_tick(xs, us, rbds, flagss)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(reps):
+        out = batched_tick(xs, us, rbds, flagss)
+    jax.block_until_ready(out)
+    elapsed = time.time() - t0
+
+    finite = bool(jnp.isfinite(out).all())
+    print(json.dumps({
+        "metric": "wbc_ticks_per_s",
+        "value": round(b * reps / elapsed, 1),
+        "unit": "ticks/s",
+        "per_tick_us": round(1e6 * elapsed / (b * reps), 2),
+        "batch": b,
+        "finite": finite,
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
