@@ -20,9 +20,9 @@ import jax
 import jax.numpy as jnp
 
 from . import spatial
-from .dynamics import centroidal_momentum_matrix, com_position
-from .kinematics import contact_positions, ee_pose, frame_placements
-from .model import RobotModel, GRAVITY, NUM_CONTACTS
+from .dynamics import centroidal_momentum_matrix
+from .kinematics import ee_pose
+from .model import RobotModel, GRAVITY
 
 
 # --- state/input accessors ------------------------------------------------

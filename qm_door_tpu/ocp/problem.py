@@ -20,8 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..models import centroidal, dynamics, kinematics, spatial
-from ..models.model import RobotModel, GRAVITY
+from ..models import centroidal, kinematics, spatial
+from ..models.model import RobotModel
 from . import penalties
 from .gait import GaitSchedule
 from .reference import TargetTrajectories

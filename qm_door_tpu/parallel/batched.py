@@ -7,14 +7,11 @@ small-matrix math that XLA maps onto the MXU via the batch dimension.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.model import RobotModel
-from ..ocp.problem import OcpConfig, StageData
+from ..ocp.problem import StageData
 from ..solver.sqp import SqpSolver, sqp_iteration
 from .mesh import SCENARIO_AXIS
 

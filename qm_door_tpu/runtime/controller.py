@@ -23,7 +23,6 @@ from flax import struct
 
 from ..models import centroidal
 from ..models.model import RobotModel
-from ..ocp.gait import mode_to_flags
 from ..wbc.wbc import WbcState, hierarchical_wbc, hierarchical_mpc_wbc
 from .mrt import PolicyStore, evaluate_policy
 from .safety import safety_check

@@ -19,14 +19,14 @@ import numpy as np
 from ..config import QmConfig
 from ..models import centroidal
 from ..models.model import RobotModel
-from ..ocp.gait import GaitSchedule, mode_to_flags
+from ..ocp.gait import GaitSchedule
 from ..ocp.problem import build_stage_data, make_ocp_config
 from ..ocp.reference import TargetTrajectories
 from ..runtime.controller import QmController
 from ..runtime.mrt import PolicyStore
 from ..solver.sqp import SqpSolver
 from ..wbc.wbc import WbcState
-from .sim import SimConfig, SimState, contact_flags_from_sim, measured_rbd, sim_init, sim_step
+from .sim import SimConfig, measured_rbd, sim_init, sim_step
 
 
 @dataclass

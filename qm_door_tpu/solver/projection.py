@@ -17,8 +17,6 @@ Reduced input dim: 12 + 18 = 30.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

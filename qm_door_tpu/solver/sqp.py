@@ -18,11 +18,10 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..models import centroidal
 from ..models.model import RobotModel
 from ..ocp import constraints as cons
 from ..ocp.problem import OcpConfig, StageData, stage_cost, terminal_cost
-from .riccati import lqr_solve, riccati_backward, riccati_forward
+from .riccati import lqr_solve, riccati_forward
 from .transcription import linearize_ocp, project_ocp, rk2_step
 
 

@@ -16,9 +16,8 @@ Mirrors qm_wbc/src/HoQp.cpp semantics with TPU-friendly fixed shapes:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Sequence
 
-import jax
 import jax.numpy as jnp
 
 from .qp import solve_qp

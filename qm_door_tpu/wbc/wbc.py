@@ -16,9 +16,6 @@ Returns cmd = [qdd (24); F (12); tau (18)] like WbcBase::updateCmd.
 """
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from flax import struct
 
