@@ -28,7 +28,7 @@ def main():
     # Solver linear algebra needs true f32 matmuls; the TPU default (bf16
     # operands) destroys the Riccati/Cholesky conditioning.
     jax.config.update("jax_default_matmul_precision", "highest")
-    b = int(os.environ.get("QM_BENCH_BATCH", "256"))
+    b = int(os.environ.get("QM_BENCH_BATCH", "512"))
     reps = int(os.environ.get("QM_BENCH_REPS", "20"))
 
     from qm_door_tpu.config import default_config
