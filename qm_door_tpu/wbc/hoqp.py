@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from .qp import solve_qp
@@ -50,10 +51,32 @@ def null_space_masked(M, rel_tol=None):
     return vt.T * mask[None, :]
 
 
-def solve_hierarchy(tasks: Sequence[Task], qp_iters: int = 30, null_tol=None):
+def null_projector(A, ridge=None):
+    """Orthogonal projector onto null(A) via a masked SPD Cholesky solve —
+    no SVD/QR (both compile and run poorly on TPU). Rows of A that are
+    identically zero (masked tasks) are handled exactly by the diagonal
+    completion; genuine rank deficiency across stacked rows is absorbed by a
+    relative ridge."""
+    dtype = A.dtype
+    if ridge is None:
+        ridge = 1e-6 if dtype == jnp.float32 else 1e-10
+    m = A.shape[0]
+    G = A @ A.T
+    diag = jnp.diagonal(G)
+    scale = jnp.maximum(jnp.max(diag), 1.0)
+    dead = (diag < 1e-12 * scale).astype(dtype)
+    M = G + jnp.diag(dead) * scale + ridge * scale * jnp.eye(m, dtype=dtype)
+    chol = jax.scipy.linalg.cho_factor(M)
+    pinvA = jax.scipy.linalg.cho_solve(chol, A)         # M^-1 A
+    return jnp.eye(A.shape[1], dtype=dtype) - A.T @ pinvA
+
+
+def solve_hierarchy(tasks: Sequence[Task], qp_iters: int = 30, null_tol=None,
+                    nullspace: str = "projector"):
     """Solve the priority cascade. Returns the primal solution x (n,).
 
     ``tasks`` is ordered highest priority first (task0, task1, task2, ...).
+    ``nullspace``: "projector" (Cholesky, TPU fast path) or "svd" (reference).
     """
     n = tasks[0].A.shape[1]
     dtype = tasks[0].A.dtype
@@ -65,9 +88,15 @@ def solve_hierarchy(tasks: Sequence[Task], qp_iters: int = 30, null_tol=None):
         A, b, D, f = task
         nv = D.shape[0]
         AZ = A @ Z
-        col_live = (jnp.linalg.norm(Z, axis=0) > 1e-8).astype(dtype)
         h_reg = 1e-5 if dtype == jnp.float32 else 1e-9
-        H_zz = AZ.T @ AZ + jnp.diag(1.0 - col_live) + h_reg * jnp.eye(n, dtype=dtype)
+        if nullspace == "projector":
+            # dead directions = range of the processed equality rows; pin
+            # their coordinates with the complementary projector
+            dead_reg = jnp.eye(n, dtype=dtype) - Z if level > 0 else jnp.zeros((n, n), dtype=dtype)
+            H_zz = AZ.T @ AZ + dead_reg + h_reg * jnp.eye(n, dtype=dtype)
+        else:
+            col_live = (jnp.linalg.norm(Z, axis=0) > 1e-8).astype(dtype)
+            H_zz = AZ.T @ AZ + jnp.diag(1.0 - col_live) + h_reg * jnp.eye(n, dtype=dtype)
         c_z = AZ.T @ (A @ x - b)
 
         # decision vars [z (n); v (nv)]
@@ -110,8 +139,10 @@ def solve_hierarchy(tasks: Sequence[Task], qp_iters: int = 30, null_tol=None):
         if level < len(tasks) - 1:
             # Null space of ALL equality rows processed so far. Equivalent to
             # the recursive Z <- Z ker(A Z) of HoQp.cpp:126-133 but computed
-            # from the stacked rows: an orthonormal basis without the
-            # redundant/dead columns a product basis accumulates.
+            # from the stacked rows.
             stacked_A = jnp.concatenate([t.A for t in tasks[: level + 1]], axis=0)
-            Z = null_space_masked(stacked_A, rel_tol=null_tol)
+            if nullspace == "projector":
+                Z = null_projector(stacked_A)
+            else:
+                Z = null_space_masked(stacked_A, rel_tol=null_tol)
     return x

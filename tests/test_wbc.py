@@ -223,3 +223,37 @@ def test_wbc_batched_vmap(wbc_setup):
     cmds = jax.vmap(one)(xs, us, rbds, flagss)
     assert cmds.shape == (B, 54)
     np.testing.assert_allclose(cmds[0], cmds[1], atol=1e-9)
+
+
+def test_nullspace_backends_equivalent(wbc_setup):
+    """Projector-based and SVD-based hierarchy solves agree."""
+    from qm_door_tpu.wbc import tasks as Tm
+    from qm_door_tpu.wbc.hoqp import solve_hierarchy
+
+    model, cfg, x0, rbd = wbc_setup
+    for fl in ([1.0, 1.0, 1.0, 1.0], [1.0, 0.0, 0.0, 1.0]):
+        flags = jnp.asarray(fl)
+        u_des = centroidal.weight_compensating_input(model, flags)
+        data = Tm.build_wbc_data(model, x0, u_des, rbd, flags, jnp.zeros(30), 0.002)
+        t0 = Tm.concat_tasks(
+            Tm.floating_base_eom_task(data), Tm.torque_limits_task(data),
+            Tm.no_contact_motion_task(data), Tm.friction_cone_task(data, 0.3),
+        )
+        t1 = Tm.concat_tasks(
+            Tm.base_height_motion_task(data, 400.0, 140.0),
+            Tm.base_angular_motion_task(data, 400.0, 140.0),
+            Tm.scale_task(Tm.swing_leg_task(data, 350.0, 37.0), 100.0),
+        )
+        t2 = Tm.contact_force_task(data)
+        x_p = solve_hierarchy([t0, t1, t2], qp_iters=40, nullspace="projector")
+        x_s = solve_hierarchy([t0, t1, t2], qp_iters=40, nullspace="svd")
+        # The raw solutions may differ in directions no task pins (degenerate
+        # optimum); what must agree are the task residuals and feasibility.
+        for t in (t0, t1, t2):
+            rp = float(jnp.linalg.norm(t.A @ x_p - t.b))
+            rs = float(jnp.linalg.norm(t.A @ x_s - t.b))
+            assert abs(rp - rs) < 1e-3, (rp, rs)
+        assert float(jnp.max(t0.D @ x_p - t0.f)) < 1e-6
+        assert float(jnp.max(t0.D @ x_s - t0.f)) < 1e-6
+        # contact forces (pinned by t2) must match
+        np.testing.assert_allclose(np.asarray(x_p[24:]), np.asarray(x_s[24:]), atol=1e-2)
