@@ -16,11 +16,9 @@ import jax
 # interpreter start, so the env var alone is not enough — override the config.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Persistent compile cache: the model-core jit graphs are deep (nested AD over
-# unrolled kinematics); caching keeps repeated test runs fast.
-os.makedirs("/tmp/qm_tpu_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/qm_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: do not enable the persistent compilation cache here — concurrent
+# writers SIGABRT inside put_executable_and_time on this image (and the AOT
+# entries fail machine-feature validation on reload anyway).
 
 import numpy as np
 import pytest
