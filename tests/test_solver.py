@@ -207,8 +207,16 @@ def test_fused_linearization_matches_reference(mpc_setup):
     X = X + jnp.asarray(rng_l.normal(size=X.shape) * 0.01)
     U = U + jnp.asarray(rng_l.normal(size=U.shape) * 1.0)
 
+    # jit both paths: the eager graphs are enormous and have segfaulted the
+    # XLA CPU compiler when run late in a long test session
+    fused_fn = jax.jit(
+        lambda k, x, u, xn: _node_linearization(model, ocp, stage, cfg.sqp.dt, k, x, u, xn)
+    )
+    ref_fn = jax.jit(
+        lambda k, x, u, xn: _node_linearization_reference(model, ocp, stage, cfg.sqp.dt, k, x, u, xn)
+    )
     for k in [0, 7, 40]:
-        fused = _node_linearization(model, ocp, stage, cfg.sqp.dt, k, X[k], U[k], X[k + 1])
-        ref = _node_linearization_reference(model, ocp, stage, cfg.sqp.dt, k, X[k], U[k], X[k + 1])
+        fused = fused_fn(k, X[k], U[k], X[k + 1])
+        ref = ref_fn(k, X[k], U[k], X[k + 1])
         for a, b in zip(fused, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
