@@ -42,8 +42,10 @@ def main():
     dtype = jnp.float32
     model = aliengo_z1(dtype=dtype)
     cfg = default_config()
-    # chunk the per-node linearization to bound jacfwd workspace memory
-    cfg.sqp.lin_chunk = int(os.environ.get("QM_BENCH_LIN_CHUNK", "16"))
+    # 0 = linearize all 67 nodes at once: the 24-tangent + elementwise
+    # small-matmul pipeline fits HBM unchunked now, and lax.map chunking
+    # (serialized fused mega-kernels) measured 4x slower after the rewrite
+    cfg.sqp.lin_chunk = int(os.environ.get("QM_BENCH_LIN_CHUNK", "0"))
     ocp = make_ocp_config(model, cfg, dtype=dtype)
     solver = SqpSolver(model, ocp, cfg)
 

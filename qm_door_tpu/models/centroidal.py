@@ -54,7 +54,7 @@ def pinocchio_q(x):
 
 def _base_velocity_from_cmm(model: RobotModel, A, x, u):
     m = jnp.sum(model.body_mass)
-    rhs = m * normalized_momentum(x) - A[:, 6:] @ joint_velocities(u)
+    rhs = m * normalized_momentum(x) - spatial.fmv(A[:, 6:], joint_velocities(u))
     return jnp.linalg.solve(A[:, :6], rhs)
 
 
@@ -139,7 +139,7 @@ def centroidal_state_from_rbd(model: RobotModel, rbd):
     (CentroidalModelRbdConversions::computeCentroidalStateFromRbdModel)."""
     q, v = rbd_to_generalized(rbd)
     m = jnp.sum(model.body_mass)
-    h_norm = (centroidal_momentum_matrix(model, q) @ v) / m
+    h_norm = spatial.fmv(centroidal_momentum_matrix(model, q), v) / m
     return jnp.concatenate([h_norm, q])
 
 

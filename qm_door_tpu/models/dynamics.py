@@ -125,13 +125,15 @@ def centroidal_momentum_matrix(model: RobotModel, q):
 def cmm_from_fk(model: RobotModel, q, axes, origins, R, p):
     """CMM assembly from precomputed FK (shared-FK fast path for the flow map)."""
     m = model.body_mass
-    coms = jnp.einsum("bij,bj->bi", R, model.body_com) + p          # (19,3)
-    Iw = jnp.einsum("bij,bjk,blk->bil", R, model.body_inertia, R)   # (19,3,3)
+    coms = spatial.fmv(R, model.body_com) + p                       # (19,3)
+    Iw = spatial.fmm(
+        spatial.fmm(R, model.body_inertia), jnp.swapaxes(R, -1, -2)
+    )                                                               # (19,3,3)
     eye = jnp.eye(3, dtype=q.dtype)
     # per-body inertia about the world origin
-    cc = jnp.einsum("bi,bi->b", coms, coms)
+    cc = jnp.sum(coms * coms, axis=-1)
     I_origin = Iw + m[:, None, None] * (
-        cc[:, None, None] * eye - jnp.einsum("bi,bj->bij", coms, coms)
+        cc[:, None, None] * eye - coms[:, :, None] * coms[:, None, :]
     )
     s_body = m[:, None] * coms                                      # (19,3)
 
@@ -139,17 +141,17 @@ def cmm_from_fk(model: RobotModel, q, axes, origins, R, p):
         _subtree_table(tuple(model.joint_parent)), dtype=q.dtype
     )  # (18,19)
     M_sub = table @ m                                               # (18,)
-    s_sub = table @ s_body                                          # (18,3)
-    J_sub = jnp.einsum("jb,bik->jik", table, I_origin)              # (18,3,3)
+    s_sub = spatial.fmm(table, s_body)                              # (18,3)
+    J_sub = jnp.sum(table[:, :, None, None] * I_origin[None], axis=1)  # (18,3,3)
 
     # joint columns about the origin
     lever = s_sub - M_sub[:, None] * origins                        # (18,3)
     P_cols = jnp.cross(axes, lever)                                 # (18,3)
-    so = jnp.einsum("ji,ji->j", s_sub, origins)
+    so = jnp.sum(s_sub * origins, axis=-1)
     L_cols = (
-        jnp.einsum("jik,jk->ji", J_sub, axes)
+        spatial.fmv(J_sub, axes)
         - so[:, None] * axes
-        + origins * jnp.einsum("ji,ji->j", s_sub, axes)[:, None]
+        + origins * jnp.sum(s_sub * axes, axis=-1)[:, None]
     )
 
     # base columns: translation then euler-rate rotation about base origin
@@ -163,9 +165,9 @@ def cmm_from_fk(model: RobotModel, q, axes, origins, R, p):
     )                                                               # (3,3) rows per col
     so_b = jnp.dot(s_tot, base_p)
     L_rot = (
-        jnp.einsum("ik,jk->ji", J_tot, E.T)
+        spatial.fmm(E.T, J_tot.T)
         - so_b * E.T
-        + base_p[None, :] * jnp.einsum("i,ji->j", s_tot, E.T)[:, None]
+        + base_p[None, :] * spatial.fmv(E.T, s_tot)[:, None]
     )
 
     P = jnp.concatenate(
@@ -174,7 +176,7 @@ def cmm_from_fk(model: RobotModel, q, axes, origins, R, p):
     L_O = jnp.concatenate([spatial.skew(s_tot), L_rot.T, L_cols.T], axis=1)
     # shift momentum reference from world origin to the com
     com = s_tot / M_tot
-    L = L_O - spatial.skew(com) @ P
+    L = L_O - spatial.fmm(spatial.skew(com), P)
     return jnp.concatenate([P, L], axis=0)
 
 

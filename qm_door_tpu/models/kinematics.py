@@ -26,7 +26,7 @@ def _axis_rot(axis, angle):
     """Rodrigues rotation about a (constant) unit axis."""
     K = spatial.skew(axis)
     s, c = jnp.sin(angle), jnp.cos(angle)
-    return jnp.eye(3, dtype=angle.dtype) + s * K + (1.0 - c) * (K @ K)
+    return jnp.eye(3, dtype=angle.dtype) + s * K + (1.0 - c) * spatial.fmm(K, K)
 
 
 @jax.jit
@@ -43,9 +43,9 @@ def fk(model: RobotModel, q):
     for i in range(model.nj):
         par = model.joint_parent[i]
         Rp, pp = Rs[par], ps[par]
-        Rj = Rp @ model.joint_rot[i]
-        pj = Rp @ model.joint_trans[i] + pp
-        Rs.append(Rj @ _axis_rot(model.joint_axis[i], q[6 + i]))
+        Rj = spatial.fmm(Rp, model.joint_rot[i])
+        pj = spatial.fmv(Rp, model.joint_trans[i]) + pp
+        Rs.append(spatial.fmm(Rj, _axis_rot(model.joint_axis[i], q[6 + i])))
         ps.append(pj)
     return jnp.stack(Rs), jnp.stack(ps)
 
@@ -58,8 +58,8 @@ def joint_world_axes(model: RobotModel, q):
     origins = []
     for i in range(model.nj):
         par = model.joint_parent[i]
-        axes.append(R[par] @ model.joint_rot[i] @ model.joint_axis[i])
-        origins.append(R[par] @ model.joint_trans[i] + p[par])
+        axes.append(spatial.fmv(R[par], model.joint_rot[i] @ model.joint_axis[i]))
+        origins.append(spatial.fmv(R[par], model.joint_trans[i]) + p[par])
     return jnp.stack(axes), jnp.stack(origins), (R, p)
 
 
@@ -107,7 +107,7 @@ def point_jacobian(model: RobotModel, q, body_idx, point_w, axes_origins=None):
     Jang = [jnp.zeros((3, 3), dtype=dtype)]
     # base orientation (cols 3-5): omega = E @ etadot; v_point = omega x (p - p_base)
     r = point_w - base_p
-    Jlin.append(-spatial.skew(r) @ E)
+    Jlin.append(-spatial.fmm(spatial.skew(r), E))
     Jang.append(E)
     # joints (static sparsity: only ancestor joints contribute)
     mask = _ancestor_mask(model)[body_idx]
@@ -138,8 +138,8 @@ def frame_placements(model: RobotModel, q, fk_out=None):
     pf = []
     for f in range(len(model.frame_names)):
         par = model.frame_parent[f]
-        Rf.append(R[par] @ model.frame_rot[f])
-        pf.append(R[par] @ model.frame_trans[f] + p[par])
+        Rf.append(spatial.fmm(R[par], model.frame_rot[f]))
+        pf.append(spatial.fmv(R[par], model.frame_trans[f]) + p[par])
     return jnp.stack(Rf), jnp.stack(pf)
 
 
@@ -173,7 +173,7 @@ def frame_jacobians_dot(model: RobotModel, q, v, frame_ids=None):
 def frame_velocities(model: RobotModel, q, v, frame_ids=None):
     """(F, 6) spatial velocities [linear; angular] in world axes."""
     J = frame_jacobians(model, q, frame_ids)
-    return J @ v
+    return spatial.fmv(J, v)
 
 
 @jax.jit

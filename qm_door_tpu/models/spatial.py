@@ -17,6 +17,21 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def fmm(A, B):
+    """Small-matrix matmul as broadcast-multiply-sum.
+
+    TPU: a (3,3)-ish dot_general lowers to its own padded kernel ((8,128)
+    tiles) and breaks XLA fusion; writing the contraction as multiply+sum
+    keeps the whole FK/CMM chain one fused elementwise DAG. Use for any
+    matmul whose contracted dim is tiny (<= ~32)."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def fmv(A, x):
+    """Small matrix-vector product as multiply+sum (see fmm)."""
+    return jnp.sum(A * x[..., None, :], axis=-1)
+
+
 def skew(v):
     """Cross-product matrix: skew(v) @ u == cross(v, u). Batched over leading dims."""
     z = jnp.zeros_like(v[..., 0])
@@ -71,12 +86,12 @@ def rot_z(a):
 
 def rpy_to_rot(rpy):
     """URDF fixed-axis roll-pitch-yaw -> rotation matrix: Rz(y)Ry(p)Rx(r)."""
-    return rot_z(rpy[..., 2]) @ rot_y(rpy[..., 1]) @ rot_x(rpy[..., 0])
+    return fmm(fmm(rot_z(rpy[..., 2]), rot_y(rpy[..., 1])), rot_x(rpy[..., 0]))
 
 
 def zyx_to_rot(zyx):
     """ZYX Euler angles (yaw, pitch, roll) -> rotation matrix Rz Ry Rx."""
-    return rot_z(zyx[..., 0]) @ rot_y(zyx[..., 1]) @ rot_x(zyx[..., 2])
+    return fmm(fmm(rot_z(zyx[..., 0]), rot_y(zyx[..., 1])), rot_x(zyx[..., 2]))
 
 
 def rot_to_zyx(R):
@@ -119,11 +134,11 @@ def world_angvel_to_zyx_rates(zyx, omega_world):
     row1 = jnp.stack([-sz, cz, jnp.zeros_like(z)], axis=-1)
     row2 = jnp.stack([cz * inv_cy, sz * inv_cy, jnp.zeros_like(z)], axis=-1)
     Einv = jnp.stack([row0, row1, row2], axis=-2)
-    return (Einv @ omega_world[..., None])[..., 0]
+    return fmv(Einv, omega_world)
 
 
 def zyx_rates_to_world_angvel(zyx, zyx_rates):
-    return (zyx_rates_to_world_angvel_matrix(zyx) @ zyx_rates[..., None])[..., 0]
+    return fmv(zyx_rates_to_world_angvel_matrix(zyx), zyx_rates)
 
 
 def world_angacc_from_zyx(zyx, zyx_rates, zyx_rates_dot):
@@ -133,7 +148,7 @@ def world_angacc_from_zyx(zyx, zyx_rates, zyx_rates_dot):
 
     E_fn = zyx_rates_to_world_angvel_matrix
     E, Edot = jax.jvp(E_fn, (zyx,), (zyx_rates,))
-    return (E @ zyx_rates_dot[..., None])[..., 0] + (Edot @ zyx_rates[..., None])[..., 0]
+    return fmv(E, zyx_rates_dot) + fmv(Edot, zyx_rates)
 
 
 # ---------------------------------------------------------------------------
@@ -258,7 +273,7 @@ def rotation_error_world(R_ref, R_meas):
     Matches ocs2 rotationErrorInWorld used by the reference WBC
     (qm_wbc/src/WbcBase.cpp base/EE angular tasks).
     """
-    return log3(R_ref @ jnp.swapaxes(R_meas, -1, -2))
+    return log3(fmm(R_ref, jnp.swapaxes(R_meas, -1, -2)))
 
 
 def log3(R):

@@ -46,7 +46,9 @@ def foot_velocities(model: RobotModel, x, u):
     q = centroidal.pinocchio_q(x)
     v = centroidal.pinocchio_v(model, x, u)
     J = kinematics.frame_jacobians(model, q, model.contact_frame_ids)  # (4,6,24)
-    return (J[:, :3, :] @ v).reshape(12)
+    from ..models import spatial
+
+    return spatial.fmv(J[:, :3, :], v).reshape(12)
 
 
 def velocity_constraint(model: RobotModel, x, u, contact_flags, z_vel_ref):

@@ -180,7 +180,7 @@ def _cone_h(ocp: OcpConfig, F):
 
 
 def _tracking_cost(ocp: OcpConfig, dx, du):
-    return 0.5 * dx @ ocp.Q @ dx + 0.5 * du @ ocp.R @ du
+    return 0.5 * dx @ (ocp.Q @ dx) + 0.5 * du @ (ocp.R @ du)
 
 
 def _soft_limits_cost(ocp: OcpConfig, x, u):
@@ -288,8 +288,8 @@ def quadratize_stage(model: RobotModel, ocp: OcpConfig, stage: StageData, k, x, 
         [jnp.full(3, ocp.ee_mu_position, dtype=dtype), jnp.full(3, ocp.ee_mu_orientation, dtype=dtype)]
     )
     l = l + 0.5 * jnp.sum(w * e * e)
-    lx = lx + Je.T @ (w * e)
-    lxx = lxx + Je.T @ (w[:, None] * Je)
+    lx = lx + spatial.fmv(Je.T, w * e)
+    lxx = lxx + spatial.fmm(Je.T, w[:, None] * Je)
 
     # friction cone barrier (exact)
     flags = stage.contact_flags[k]
@@ -340,6 +340,6 @@ def quadratize_terminal(model: RobotModel, ocp: OcpConfig, stage: StageData, x):
         ]
     )
     l = 0.5 * jnp.sum(w * e * e)
-    lx = Je.T @ (w * e)
-    lxx = Je.T @ (w[:, None] * Je)
+    lx = spatial.fmv(Je.T, w * e)
+    lxx = spatial.fmm(Je.T, w[:, None] * Je)
     return l, lx, lxx

@@ -133,49 +133,98 @@ def _flow_force_cols(model, x):
     return jnp.concatenate([lin, ang, zeros], axis=0)
 
 
-def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_next):
-    """Fused fast-path per-node linearization.
+def _momentum_velocity_coeffs(model, q, dtype):
+    """Linear-structure coefficients of the base velocity at fixed q:
 
-    One jacfwd pipeline shares the FK/CMM tangent work between the dynamics,
-    the velocity equality constraints and the EE-error Jacobian; the force
-    columns of d(flow)/du are filled analytically (forces only enter the
-    momentum-rate rows), cutting the tangent count from 60 to 48. Verified
-    against _node_linearization_reference in tests.
+        v_b = A_b(q)^{-1} (m h - A_j(q) v_j)
+        d v_b / dh  = m A_b^{-1}        (6, 6)
+        d v_b / dvj = -A_b^{-1} A_j     (6, 18)
+
+    One 6x24 solve; the CMM primal is shared (CSE) with the AD pipeline.
     """
+    from ..models import dynamics as dyn
+
+    m = jnp.sum(model.body_mass)
+    A = dyn.centroidal_momentum_matrix(model, q)  # (6, 24)
+    rhs = jnp.concatenate([m * jnp.eye(6, dtype=dtype), A[:, 6:]], axis=1)
+    sol = jnp.linalg.solve(A[:, :6], rhs)         # (6, 24)
+    return sol[:, :6], -sol[:, 6:]
+
+
+def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_next):
+    """Fused 24-tangent per-node linearization.
+
+    The centroidal flow map, foot-velocity equalities and EE error are
+    nonlinear only in the 24 generalized coordinates q; they are LINEAR in
+    the normalized momentum h (6) and joint velocities v_j (18):
+
+        flow = [hdot(q, F); A_b(q)^{-1}(m h - A_j(q) v_j); v_j]
+        g    = M .* (J(q) [v_b; v_j] - b)
+        e    = e(q)
+
+    so one 24-tangent AD pipeline (w.r.t. q) plus analytic h / v_j / force
+    columns assembled from A_b^{-1}, A_j and the foot Jacobians yields the
+    full Jacobians — 24 tangents vs 48 for the previous fused path and 60
+    for independent pipelines (_node_linearization_reference stays as the
+    correctness oracle in tests/test_solver.py).
+    """
+    from ..models import kinematics as kin
     from ..ocp.problem import _ee_error
 
+    dtype = x.dtype
+    h_bar, q_bar = x[0:6], x[6:30]
+    u_bar = u
     F_bar = u[0:12]
     flags = stage.contact_flags[k]
     zref = stage.z_vel_ref[k]
-    nx = 30
 
-    def stage1(xz):
-        x_, vj = xz[:nx], xz[nx:]
-        u_ = jnp.concatenate([F_bar, vj])
-        f1 = centroidal.flow_map(model, x_, u_)
-        g = cons.velocity_constraint(model, x_, u_, flags, zref)
+    def stage1(q_):
+        x_ = jnp.concatenate([h_bar, q_])
+        f1 = centroidal.flow_map(model, x_, u_bar)
+        g = cons.velocity_constraint(model, x_, u_bar, flags, zref)
         e = _ee_error(model, ocp, x_, stage.ee_pos_ref[k], stage.ee_quat_ref[k])
         return jnp.concatenate([f1, g, e])
 
-    xz = jnp.concatenate([x, u[12:30]])
-    out1, jvp1 = jax.linearize(stage1, xz)
-    J1 = jax.vmap(jvp1)(jnp.eye(48, dtype=x.dtype)).T   # (48, 48)
+    out1, jvp1 = jax.linearize(stage1, q_bar)
+    J1 = jax.vmap(jvp1)(jnp.eye(24, dtype=dtype)).T   # (48, 24)
     f1, g0, e = out1[:30], out1[30:42], out1[42:48]
-    df1_dx, df1_dvj = J1[:30, :30], J1[:30, 30:]
-    Gx, Gv = J1[30:42, :30], J1[30:42, 30:]
-    Je = J1[42:48, :30]
+    dq_f1, dq_g, Je_q = J1[:30], J1[30:42], J1[42:48]
+
+    dvb_dh, dvb_dvj = _momentum_velocity_coeffs(model, q_bar, dtype)
+    z6_6 = jnp.zeros((6, 6), dtype=dtype)
+    z18_6 = jnp.zeros((18, 6), dtype=dtype)
+    z6_18 = jnp.zeros((6, 18), dtype=dtype)
+    df1_dh = jnp.concatenate([z6_6, dvb_dh, z18_6], axis=0)       # (30, 6)
+    df1_dvj = jnp.concatenate(
+        [z6_18, dvb_dvj, jnp.eye(18, dtype=dtype)], axis=0
+    )                                                             # (30, 18)
+
+    Jfeet = kin.frame_jacobians(model, q_bar, model.contact_frame_ids)
+    Jlin = Jfeet[:, :3, :].reshape(12, 24)
+    mask = cons.velocity_row_mask(flags)
+    dg_dh = mask[:, None] * (Jlin[:, :6] @ dvb_dh)                # (12, 6)
+    dg_dvj = mask[:, None] * (Jlin[:, :6] @ dvb_dvj + Jlin[:, 6:])
+
+    df1_dx = jnp.concatenate([df1_dh, dq_f1], axis=1)             # (30, 30)
     df1_du = jnp.concatenate([_flow_force_cols(model, x), df1_dvj], axis=1)
+    Gx = jnp.concatenate([dg_dh, dq_g], axis=1)                   # (12, 30)
+    Gv = dg_dvj
+    Je = jnp.concatenate([jnp.zeros((6, 6), dtype=dtype), Je_q], axis=1)
 
     x2 = x + dt * f1
+    h2, q2 = x2[0:6], x2[6:30]
 
-    def stage2(xz2):
-        x_, vj = xz2[:nx], xz2[nx:]
-        return centroidal.flow_map(model, x_, jnp.concatenate([F_bar, vj]))
+    def stage2(q_):
+        return centroidal.flow_map(model, jnp.concatenate([h2, q_]), u_bar)
 
-    xz2 = jnp.concatenate([x2, u[12:30]])
-    f2, jvp2 = jax.linearize(stage2, xz2)
-    J2 = jax.vmap(jvp2)(jnp.eye(48, dtype=x.dtype)).T
-    df2_dx2, df2_dvj = J2[:, :30], J2[:, 30:]
+    f2, jvp2 = jax.linearize(stage2, q2)
+    J2q = jax.vmap(jvp2)(jnp.eye(24, dtype=dtype)).T              # (30, 24)
+    dvb2_dh, dvb2_dvj = _momentum_velocity_coeffs(model, q2, dtype)
+    df2_dh = jnp.concatenate([z6_6, dvb2_dh, z18_6], axis=0)
+    df2_dvj = jnp.concatenate(
+        [z6_18, dvb2_dvj, jnp.eye(18, dtype=dtype)], axis=0
+    )
+    df2_dx2 = jnp.concatenate([df2_dh, J2q], axis=1)
     df2_du = jnp.concatenate([_flow_force_cols(model, x2), df2_dvj], axis=1)
 
     # RK2 (Heun) discrete sensitivities: Phi = x + dt/2 (f1 + f2(x + dt f1, u))

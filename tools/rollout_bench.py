@@ -36,7 +36,7 @@ def main():
     dtype = jnp.float32
     model = aliengo_z1(dtype=dtype)
     cfg = default_config()
-    cfg.sqp.lin_chunk = 16
+    cfg.sqp.lin_chunk = 0
     ocp = make_ocp_config(model, cfg, dtype=dtype)
     solver = SqpSolver(model, ocp, cfg)
 
