@@ -53,6 +53,7 @@ class ClosedLoopRunner:
         control_decimation: int = 2,   # physics steps per control tick (500 Hz)
         mpc_decimation: int = 10,      # physics steps per MPC solve (100 Hz)
         solver: Optional[SqpSolver] = None,
+        estimator: str = "ground_truth",  # or "kalman" (IMU + leg odometry KF)
     ):
         self.model = model
         self.cfg = cfg
@@ -67,6 +68,7 @@ class ClosedLoopRunner:
         self.controller = QmController(model, cfg)
         self.control_decimation = control_decimation
         self.mpc_decimation = mpc_decimation
+        self.estimator = estimator
 
     def run(
         self,
@@ -86,8 +88,21 @@ class ClosedLoopRunner:
         q0 = q0.at[2].add(self.sim_cfg.terrain_height - feet_z + start_height_offset)
         sim = sim_init(model, q0, cfg=self.sim_cfg)
 
+        # estimator (ground truth = FromTopicStateEstimate parity; kalman =
+        # IMU + leg-odometry linear KF fed from synthesized IMU readings)
+        kf = None
+        if self.estimator == "kalman":
+            from ..estimation import KalmanFilterEstimate
+            from ..estimation.base import imu_from_state
+
+            kf = KalmanFilterEstimate(model)
+            kf.reset(sim.q)
+            self._imu_from_state = imu_from_state
+        v_prev = sim.v
+        rbd_est = measured_rbd(model, sim)
+
         # initial solve (QMController::starting — spin until policy received)
-        rbd = measured_rbd(model, sim)
+        rbd = rbd_est
         x_obs = centroidal.centroidal_state_from_rbd(model, rbd)
         stage = build_stage_data(model, cfg, self.schedule, targets, 0.0)
         sol = self.solver.solve(stage, x_obs)
@@ -105,7 +120,7 @@ class ClosedLoopRunner:
         for step in range(n_steps):
             t = step * dt
             if step % self.mpc_decimation == 0 and step > 0:
-                rbd = measured_rbd(model, sim)
+                rbd = rbd_est
                 x_obs = centroidal.centroidal_state_from_rbd(model, rbd)
                 stage = build_stage_data(model, cfg, self.schedule, targets, t)
                 sol = self.solver.solve(
@@ -116,7 +131,7 @@ class ClosedLoopRunner:
                 log.mpc_viol.append(float(sol.constraint_violation))
 
             if step % self.control_decimation == 0 or command is None:
-                rbd = measured_rbd(model, sim)
+                rbd = rbd_est
                 flags = jnp.asarray(
                     self.schedule.contact_flags_at(t), dtype=x_init.dtype
                 )
@@ -143,5 +158,21 @@ class ClosedLoopRunner:
                 log.ee_pos.append(np.asarray(rbd[48:51]))
 
             sim = sim_step(model, self.sim_cfg, sim, command)
+            if kf is None:
+                rbd_est = measured_rbd(model, sim)
+            else:
+                a_w = (sim.v[0:3] - v_prev[0:3]) / dt
+                v_prev = sim.v
+                zyx, omega_w, acc_body = self._imu_from_state(
+                    model, sim.q, sim.v, a_w
+                )
+                kf_flags = jnp.asarray(
+                    self.schedule.contact_flags_at((step + 1) * dt),
+                    dtype=x_init.dtype,
+                )
+                rbd_est = kf.update(
+                    zyx, omega_w, acc_body, sim.q[6:24], sim.v[6:24],
+                    kf_flags, dt,
+                )
 
         return log

@@ -84,9 +84,9 @@ def _linesearch(model, ocp, stage, dt, X, U, dX, dU, cost0, viol0, settings):
         c, v = evaluate_trajectory(model, ocp, stage, dt, Xt, Ut)
         return c, v
 
-    # lax.map (not vmap): trial evaluations run sequentially so the merit
-    # sweep adds no peak memory on top of the linearization workspace — the
-    # alpha dimension multiplied straight into the OOM budget otherwise.
+    # lax.map (not vmap): trial evaluations run sequentially; a vmapped alpha
+    # axis measured no faster (434 vs 445 solves/s at batch 512) and costs
+    # peak memory, so keep the sequential sweep.
     costs, viols = jax.lax.map(trial, alphas)
 
     g_max, g_min = settings.g_max, settings.g_min
