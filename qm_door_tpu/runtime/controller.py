@@ -153,14 +153,20 @@ class QmController:
             leg_pd_start_time=cfg.controller.leg_pd_start_time,
             arm_init_time=cfg.wbc.arm_init_time,
         )
+        # WBC gains travel as a traced pytree argument, so live gain tuning
+        # (dynamic_reconfigure parity) re-uses the compiled tick: assign a new
+        # WbcGains to ``self.gains`` between ticks — no recompile.
+        from ..wbc.wbc import WbcGains
+
+        self.gains = WbcGains.from_settings(cfg.wbc)
         self._tick = jax.jit(
-            partial(controller_tick, model, cfg.wbc, self.ctrl, separated=separated)
+            partial(controller_tick, model, separated=separated)
         )
         self.yaw_last = 0.0
 
     def tick(self, policy, contact_flags, rbd_measured, wbc_state, t, period):
         res = self._tick(
-            policy, contact_flags, rbd_measured, wbc_state,
+            self.gains, self.ctrl, policy, contact_flags, rbd_measured, wbc_state,
             jnp.asarray(t), jnp.asarray(period), jnp.asarray(self.yaw_last),
         )
         self.yaw_last = float(res.x_obs[9])

@@ -127,7 +127,8 @@ class BatchedClosedLoop:
         command = jnp.stack([pos_des, vel_des, kp, kd, tau], axis=1)
         return command, il_new
 
-    def _mpc_cycle(self, carry: RolloutCarry, stage: StageData):
+    def _mpc_cycle(self, carry: RolloutCarry, stage_and_wrench):
+        stage, wrench = stage_and_wrench
         model, solver = self.model, self.solver
         sim_cfg = self.sim_cfg
         ctrl_period = sim_cfg.dt * self.control_decim
@@ -164,7 +165,9 @@ class BatchedClosedLoop:
                 (step_idx % self.control_decim) == 0,
                 do_tick, lambda _: (command, input_last), None,
             )
-            sim_new = jax.vmap(lambda s, c: sim_step(model, sim_cfg, s, c))(sim, command)
+            sim_new = jax.vmap(
+                lambda s, c, w: sim_step(model, sim_cfg, s, c, external_wrench=w)
+            )(sim, command, wrench)
             return (sim_new, input_last, command), None
 
         (sim_new, input_last, command), _ = jax.lax.scan(
@@ -190,15 +193,24 @@ class BatchedClosedLoop:
         )
         return new_carry, (sim_out.q[:, 0:6], cost, viol, alive)
 
-    def _run_impl(self, stages: StageData, carry: RolloutCarry):
-        """stages: StageData stacked along a leading (T, ...) cycle axis."""
+    def _run_impl(self, stages: StageData, carry: RolloutCarry, wrenches):
+        """stages: StageData stacked along a leading (T, ...) cycle axis;
+        wrenches: (T, B, 6) per-cycle per-scenario base disturbance."""
         carry, (base, cost, viol, alive) = jax.lax.scan(
-            self._mpc_cycle, carry, stages
+            self._mpc_cycle, carry, (stages, wrenches)
         )
         return carry, RolloutLog(base_pose=base, mpc_cost=cost, mpc_viol=viol, alive=alive)
 
-    def run(self, stages: StageData, carry: RolloutCarry):
-        return self._run(stages, carry)
+    def run(self, stages: StageData, carry: RolloutCarry, wrenches=None):
+        """``wrenches`` (T, B, 6), world-frame force/torque on the base per
+        MPC cycle — the domain-randomization channel for pushes (transient
+        lateral force) and payloads (persistent -z force). None = undisturbed."""
+        if wrenches is None:
+            T = stages.times.shape[0]
+            B = carry.alive.shape[0]
+            dtype = carry.sim.q.dtype
+            wrenches = jnp.zeros((T, B, 6), dtype=dtype)
+        return self._run(stages, carry, wrenches)
 
 
 def stack_stages(model, cfg, schedule, targets, t0, n_cycles, mpc_period, dtype):

@@ -25,6 +25,54 @@ from .hoqp import solve_hierarchy
 
 
 @struct.dataclass
+class WbcGains:
+    """Live-tunable WBC gains as a pytree (dynamic_reconfigure parity,
+    qm_wbc/cfg/wbcWigeht.cfg + WbcBase::dynamicCallback WbcBase.cpp:74-121).
+
+    Pass an instance as ``wbc_cfg`` into a jitted tick: the gains become
+    traced inputs, so swapping values at runtime re-uses the compiled
+    executable (same shapes/treedef -> no retrace). ``qp_iterations`` and
+    ``arm_init_time`` stay static (they change control flow)."""
+
+    swing_kp: jnp.ndarray
+    swing_kd: jnp.ndarray
+    base_height_kp: jnp.ndarray
+    base_height_kd: jnp.ndarray
+    base_linear_kp: jnp.ndarray
+    base_linear_kd: jnp.ndarray
+    base_angular_kp: jnp.ndarray
+    base_angular_kd: jnp.ndarray
+    arm_joint_kp: jnp.ndarray   # (6,)
+    arm_joint_kd: jnp.ndarray   # (6,)
+    ee_linear_kp: jnp.ndarray   # (3,)
+    ee_linear_kd: jnp.ndarray   # (3,)
+    ee_angular_kp: jnp.ndarray  # (3,)
+    ee_angular_kd: jnp.ndarray  # (3,)
+    swing_task_weight: jnp.ndarray
+    friction_coefficient: jnp.ndarray
+    qp_iterations: int = struct.field(pytree_node=False, default=30)
+    arm_init_time: float = struct.field(pytree_node=False, default=10.0)
+
+    @classmethod
+    def from_settings(cls, ws, dtype=jnp.float32):
+        """Build from config.WbcSettings."""
+        arr = lambda v: jnp.asarray(v, dtype=dtype)
+        return cls(
+            swing_kp=arr(ws.swing_kp), swing_kd=arr(ws.swing_kd),
+            base_height_kp=arr(ws.base_height_kp), base_height_kd=arr(ws.base_height_kd),
+            base_linear_kp=arr(ws.base_linear_kp), base_linear_kd=arr(ws.base_linear_kd),
+            base_angular_kp=arr(ws.base_angular_kp), base_angular_kd=arr(ws.base_angular_kd),
+            arm_joint_kp=arr(ws.arm_joint_kp), arm_joint_kd=arr(ws.arm_joint_kd),
+            ee_linear_kp=arr(ws.ee_linear_kp), ee_linear_kd=arr(ws.ee_linear_kd),
+            ee_angular_kp=arr(ws.ee_angular_kp), ee_angular_kd=arr(ws.ee_angular_kd),
+            swing_task_weight=arr(ws.swing_task_weight),
+            friction_coefficient=arr(ws.friction_coefficient),
+            qp_iterations=ws.qp_iterations,
+            arm_init_time=ws.arm_init_time,
+        )
+
+
+@struct.dataclass
 class WbcState:
     """Cross-tick WBC memory (finite-difference joint accelerations)."""
 

@@ -82,3 +82,37 @@ def test_push_disturbance_rejection(mpc_stack):
     assert np.isfinite(q).all()
     assert abs(q[2] - 0.365) < 0.08      # height held
     assert abs(q[5]) < 0.25              # roll bounded under lateral push
+
+
+def test_hot_reload_gains_no_recompile(mpc_stack):
+    """dynamic_reconfigure parity: swapping WbcGains between ticks changes
+    the command without recompiling the jitted tick."""
+    model, cfg, ocp, solver, x0, targets = mpc_stack
+    from qm_door_tpu.ocp.gait import GaitSchedule
+    from qm_door_tpu.ocp.problem import build_stage_data
+
+    cfg2 = default_config()
+    cfg2.controller.leg_pd_start_time = -1.0
+    cfg2.wbc.arm_init_time = -1.0
+    stage = build_stage_data(model, cfg2, GaitSchedule(), targets, 0.0)
+    sol = solver.solve(stage, x0)
+    policy = PolicyStore(times=sol.times, X=sol.X, U=sol.U)
+
+    ctrl = QmController(model, cfg2)
+    q0 = centroidal.pinocchio_q(x0)
+    # perturb the base so PD tasks produce nonzero feedback
+    rbd = centroidal.rbd_from_generalized(
+        model, q0.at[2].add(0.03), jnp.zeros(24)
+    )
+    res1 = ctrl.tick(policy, jnp.ones(4), rbd, WbcState.init(), 1.0, 0.002)
+    n_compiles = ctrl._tick._cache_size()
+
+    ctrl.gains = ctrl.gains.replace(
+        base_height_kp=ctrl.gains.base_height_kp * 4.0,
+        base_height_kd=ctrl.gains.base_height_kd * 2.0,
+    )
+    res2 = ctrl.tick(policy, jnp.ones(4), rbd, WbcState.init(), 1.0, 0.002)
+    assert ctrl._tick._cache_size() == n_compiles  # no retrace
+    # stiffer height gains -> different torque command
+    d = np.abs(np.asarray(res1.command.tau_ff) - np.asarray(res2.command.tau_ff))
+    assert d.max() > 1e-3, d.max()

@@ -67,15 +67,28 @@ def main():
     stage0 = jax.tree.map(lambda x: x[0], stages)
     carry = loop.init_carry(stage0, q0b)
 
+    # domain randomization (BASELINE config #5): per-scenario payload
+    # (persistent -z base force, 0-60 N ~ 0-6 kg) and a lateral push burst
+    # (0-60 N for cycles 5-7, random heading)
+    wr = np.zeros((cycles, b, 6), dtype=np.float32)
+    payload = rng.uniform(0.0, 60.0, size=b)
+    wr[:, :, 2] -= payload[None, :]
+    heading = rng.uniform(0.0, 2 * np.pi, size=b)
+    push = rng.uniform(0.0, 60.0, size=b)
+    lo, hi = min(5, cycles - 1), min(8, cycles)
+    wr[lo:hi, :, 0] += (push * np.cos(heading))[None, :]
+    wr[lo:hi, :, 1] += (push * np.sin(heading))[None, :]
+    wrenches = jnp.asarray(wr, dtype=dtype)
+
     print("compiling batched rollout ...", file=sys.stderr, flush=True)
     t0 = time.time()
-    carry_out, log = loop.run(stages, carry)
+    carry_out, log = loop.run(stages, carry, wrenches)
     jax.block_until_ready(carry_out.sim.q)
     compile_s = time.time() - t0
     print(f"compiled+ran in {compile_s:.1f}s", file=sys.stderr, flush=True)
 
     t0 = time.time()
-    carry_out, log = loop.run(stages, carry)
+    carry_out, log = loop.run(stages, carry, wrenches)
     jax.block_until_ready(carry_out.sim.q)
     elapsed = time.time() - t0
 
