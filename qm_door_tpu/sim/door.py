@@ -1,0 +1,161 @@
+"""Articulated door model for the door-opening scenario (pure JAX).
+
+World-library parity for qm_description/urdf/doors/door_{push,pull}.urdf:
+a door panel on a vertical hinge (frame-door joint: damping 0.2, travel
+[-2, 0] rad, door_push.urdf:66-69) with a lever handle (door-lever joint:
+travel [-0.5236, 0], :99-102). The reference opens these doors in Gazebo on
+its force-tracking branch; here the door is a one-DoF (panel) + one-DoF
+(lever) second-order system coupled to the robot's end-effector through a
+stiff grasp spring, so batched door-opening rollouts stay jittable.
+
+Sign convention: panel angle 0 = closed, negative = opening (push door).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..models import kinematics, spatial
+from ..models.model import RobotModel
+
+
+class DoorConfig(NamedTuple):
+    hinge_pos: tuple = (0.0, 0.0)        # world (x, y) of the hinge axis
+    hinge_yaw: float = 0.0               # door frame heading at angle 0
+    panel_inertia: float = 8.53          # kg m^2 about the hinge (100 kg, 0.8 m lever ~ m L^2 / 3... URDF panel 5 kg + lever arm)
+    panel_damping: float = 0.2           # door_push.urdf:66
+    panel_lower: float = -2.0            # door_push.urdf:69
+    panel_upper: float = 0.0
+    lever_inertia: float = 0.01
+    lever_damping: float = 0.05
+    lever_spring: float = 2.0            # returns the handle to 0
+    lever_lower: float = -0.5236         # door_push.urdf:102
+    lever_upper: float = 0.0
+    handle_offset: tuple = (0.8, -0.05, 1.0)  # handle point in door frame (x along panel)
+    grasp_stiffness: float = 2000.0      # EE-handle coupling spring
+    grasp_damping: float = 50.0
+    latch_release: float = -0.4          # lever angle that frees the panel
+
+
+@struct.dataclass
+class DoorState:
+    angle: jnp.ndarray        # () panel hinge angle
+    rate: jnp.ndarray
+    lever: jnp.ndarray        # () handle lever angle
+    lever_rate: jnp.ndarray
+
+    @staticmethod
+    def init(dtype=jnp.float32):
+        z = jnp.zeros((), dtype=dtype)
+        return DoorState(angle=z, rate=z, lever=z, lever_rate=z)
+
+
+def handle_position(cfg: DoorConfig, state: DoorState, dtype=None):
+    """World position of the handle point for the current panel angle."""
+    dtype = dtype or state.angle.dtype
+    yaw = cfg.hinge_yaw + state.angle
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    ox, oy, oz = cfg.handle_offset
+    hx = cfg.hinge_pos[0] + c * ox - s * oy
+    hy = cfg.hinge_pos[1] + s * ox + c * oy
+    return jnp.stack([hx, hy, jnp.asarray(oz, dtype=dtype)])
+
+
+def handle_velocity(cfg: DoorConfig, state: DoorState):
+    """World velocity of the handle point (panel rotation only)."""
+    yaw = cfg.hinge_yaw + state.angle
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    ox, oy, _ = cfg.handle_offset
+    # d/dt of the rotated offset
+    vx = (-s * ox - c * oy) * state.rate
+    vy = (c * ox - s * oy) * state.rate
+    return jnp.stack([vx, vy, jnp.zeros_like(vx)])
+
+
+def grasp_wrench(model: RobotModel, cfg: DoorConfig, state: DoorState, q, v):
+    """Force the grasp spring applies ON the robot EE (world frame, 3).
+
+    Equal and opposite force acts on the door at the handle point.
+    """
+    R_ee, p_ee = kinematics.ee_pose(model, q)
+    J_ee = kinematics.frame_jacobians(model, q, (model.ee_frame_id,))[0]
+    v_ee = spatial.fmv(J_ee[:3], v)
+    p_h = handle_position(cfg, state, q.dtype)
+    v_h = handle_velocity(cfg, state)
+    F_on_ee = -cfg.grasp_stiffness * (p_ee - p_h) - cfg.grasp_damping * (v_ee - v_h)
+    return F_on_ee, p_ee, J_ee
+
+
+def door_step(cfg: DoorConfig, state: DoorState, F_on_door, p_applied, dt,
+              latched=True):
+    """Advance the door one step under a world force at a point on the panel.
+
+    F_on_door (3,): force the robot applies to the door (minus the grasp
+    force on the EE). ``latched``: when True the panel only moves if the
+    lever is pulled past ``latch_release`` (door_push latch behavior); the
+    lever itself is driven by the z-component of the applied force acting at
+    the handle lever arm (0.1 m).
+    """
+    dtype = state.angle.dtype
+    yaw = cfg.hinge_yaw + state.angle
+    # torque about the vertical hinge: (p - hinge) x F, z row
+    rx = p_applied[0] - cfg.hinge_pos[0]
+    ry = p_applied[1] - cfg.hinge_pos[1]
+    tau_panel = rx * F_on_door[1] - ry * F_on_door[0]
+
+    # lever: -z force on the handle turns it (0.1 m lever arm), spring return
+    tau_lever = 0.1 * F_on_door[2] - cfg.lever_spring * state.lever \
+        - cfg.lever_damping * state.lever_rate
+    lever_acc = tau_lever / cfg.lever_inertia
+    lever_rate = state.lever_rate + dt * lever_acc
+    lever = jnp.clip(state.lever + dt * lever_rate, cfg.lever_lower, cfg.lever_upper)
+    # zero only the limit-violating velocity direction
+    lever_rate = jnp.where(
+        ((lever <= cfg.lever_lower) & (lever_rate < 0))
+        | ((lever >= cfg.lever_upper) & (lever_rate > 0)),
+        jnp.zeros_like(lever_rate), lever_rate,
+    )
+
+    unlatched = jnp.logical_or(
+        jnp.logical_not(jnp.asarray(latched)),
+        jnp.logical_or(lever < cfg.latch_release, state.angle < -1e-3),
+    )
+    acc = jnp.where(
+        unlatched,
+        (tau_panel - cfg.panel_damping * state.rate) / cfg.panel_inertia,
+        jnp.zeros_like(tau_panel),
+    )
+    rate = jnp.where(unlatched, state.rate + dt * acc, jnp.zeros_like(state.rate))
+    angle = jnp.clip(state.angle + dt * rate, cfg.panel_lower, cfg.panel_upper)
+    rate = jnp.where(
+        ((angle <= cfg.panel_lower) & (rate < 0))
+        | ((angle >= cfg.panel_upper) & (rate > 0)),
+        jnp.zeros_like(rate), rate,
+    )
+    return DoorState(angle=angle, rate=rate, lever=lever, lever_rate=lever_rate)
+
+
+def coupled_step(model: RobotModel, sim_cfg, door_cfg: DoorConfig,
+                 sim_state, door_state: DoorState, command_stack,
+                 latched=True):
+    """One physics step of robot + door with the grasp coupling active.
+
+    Returns (sim_state, door_state). The grasp spring force acts on the
+    robot EE (via J_ee^T) and, with opposite sign, on the door at the EE
+    application point.
+    """
+    from .sim import sim_step
+
+    F_on_ee, p_ee, J_ee = grasp_wrench(
+        model, door_cfg, door_state, sim_state.q, sim_state.v
+    )
+    tau_extra = J_ee[:3].T @ F_on_ee
+    sim_new = sim_step(
+        model, sim_cfg, sim_state, command_stack, tau_gen_extra=tau_extra
+    )
+    door_new = door_step(
+        door_cfg, door_state, -F_on_ee, p_ee, sim_cfg.dt, latched=latched
+    )
+    return sim_new, door_new

@@ -103,10 +103,12 @@ def _delayed_command(state: SimState):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def sim_step(model: RobotModel, cfg: SimConfig, state: SimState, command_stack,
-             external_wrench=None) -> SimState:
+             external_wrench=None, tau_gen_extra=None) -> SimState:
     """One physics step. ``command_stack`` is (5,18): rows
     (pos_des, vel_des, kp, kd, tau_ff). ``external_wrench`` (6,) optional
-    disturbance on the base (world frame force/torque at base origin)."""
+    disturbance on the base (world frame force/torque at base origin);
+    ``tau_gen_extra`` (24,) optional generalized force (e.g. J_ee^T F from
+    the door grasp coupling, sim/door.py)."""
     state = push_command(state, command_stack)
     cmd = _delayed_command(state)
 
@@ -121,6 +123,8 @@ def sim_step(model: RobotModel, cfg: SimConfig, state: SimState, command_stack,
     if external_wrench is not None:
         Jb = kinematics.frame_jacobians(model, q, (model.base_frame_id,))[0]
         tau_gen = tau_gen + Jb.T @ external_wrench
+    if tau_gen_extra is not None:
+        tau_gen = tau_gen + tau_gen_extra
 
     a = dynamics.forward_dynamics(model, q, v, tau_gen)
     v_new = v + cfg.dt * a

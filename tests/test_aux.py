@@ -116,3 +116,75 @@ def test_viz_renders(tmp_path, model):
     flags = np.ones((8, 4)); flags[::2, 1] = 0
     p2 = plot_support_and_footholds(model, q, flags, str(tmp_path / "sup.png"))
     assert (tmp_path / "sup.png").exists()
+
+
+def test_door_model():
+    """Articulated door (door_push.urdf parity): latch blocks the panel until
+    the lever is pulled; an opening push then swings the panel into [-2, 0]
+    with hinge damping; limits clamp cleanly."""
+    import jax.numpy as jnp
+    import numpy as np
+    from qm_door_tpu.sim.door import DoorConfig, DoorState, door_step, handle_position
+
+    cfg = DoorConfig()
+    st = DoorState.init(dtype=jnp.float64)
+    dt = 0.001
+    p_h = handle_position(cfg, st, jnp.float64)
+
+    # push tangentially on the latched door (no lever pull): panel stays shut
+    F_push = jnp.array([0.0, -30.0, 0.0])
+    st1 = st
+    for _ in range(200):
+        st1 = door_step(cfg, st1, F_push, p_h, dt, latched=True)
+    assert float(st1.angle) == 0.0
+
+    # pull the lever down (-z force) AND push: door opens
+    F = jnp.array([0.0, -30.0, -40.0])
+    st2 = st
+    for _ in range(1500):
+        st2 = door_step(cfg, st2, F, handle_position(cfg, st2), dt, latched=True)
+    assert float(st2.lever) < cfg.latch_release        # lever turned
+    assert float(st2.angle) < -0.05, float(st2.angle)  # panel swung open
+    assert float(st2.angle) >= cfg.panel_lower
+
+    # handle position follows the panel
+    p_h2 = np.asarray(handle_position(cfg, st2))
+    assert not np.allclose(p_h2, np.asarray(p_h))
+
+    # unlatched door with no force: damping decays the rate, angle clamps
+    st3 = DoorState(angle=jnp.array(-1.9), rate=jnp.array(-3.0),
+                    lever=jnp.array(0.0), lever_rate=jnp.array(0.0))
+    for _ in range(3000):
+        st3 = door_step(cfg, st3, jnp.zeros(3), p_h, dt, latched=False)
+    assert float(st3.angle) >= cfg.panel_lower - 1e-9
+    assert abs(float(st3.rate)) < 3.0
+
+
+def test_door_grasp_coupled_step(model):
+    """Robot + door coupled step: the grasp spring transmits force both ways
+    (generalized torque on the robot, reaction torque on the door)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from qm_door_tpu.config import default_config
+    from qm_door_tpu.models import centroidal, kinematics
+    from qm_door_tpu.sim.door import DoorConfig, DoorState, coupled_step
+    from qm_door_tpu.sim.sim import SimConfig, sim_init
+
+    cfg = default_config()
+    x0 = jnp.asarray(cfg.initial_state(), dtype=jnp.float64)
+    q0 = centroidal.pinocchio_q(x0)
+    # place the door handle exactly at the EE so the grasp starts relaxed
+    _, p_ee = kinematics.ee_pose(model, q0)
+    dcfg = DoorConfig(hinge_pos=(float(p_ee[0]) - 0.8, float(p_ee[1]) + 0.05),
+                      handle_offset=(0.8, -0.05, float(p_ee[2])))
+    sim = sim_init(model, q0, cfg=SimConfig())
+    door = DoorState.init(dtype=jnp.float64)
+
+    cmd = jnp.stack([q0[6:24], jnp.zeros(18, dtype=jnp.float64),
+                     jnp.full(18, 150.0, dtype=jnp.float64),
+                     jnp.full(18, 4.0, dtype=jnp.float64),
+                     jnp.zeros(18, dtype=jnp.float64)])
+    for _ in range(100):
+        sim, door = coupled_step(model, SimConfig(), dcfg, sim, door, cmd)
+    assert np.isfinite(np.asarray(sim.q)).all()
+    assert np.isfinite(float(door.angle))
