@@ -46,6 +46,9 @@ def main():
     # small-matmul pipeline fits HBM unchunked now, and lax.map chunking
     # (serialized fused mega-kernels) measured 4x slower after the rewrite
     cfg.sqp.lin_chunk = int(os.environ.get("QM_BENCH_LIN_CHUNK", "0"))
+    # Linesearch candidate count (semantics knob — 4 matches OCS2's grid;
+    # 1 bounds the early-exit ceiling for perf triage).
+    cfg.sqp.linesearch_steps = int(os.environ.get("QM_BENCH_LS", "4"))
     ocp = make_ocp_config(model, cfg, dtype=dtype)
     solver = SqpSolver(model, ocp, cfg)
 

@@ -56,23 +56,19 @@ class GroundTruthEstimate:
     """FromTopicStateEstimate equivalent: perfect base odometry in, rbd out.
 
     The reference subscribes /ground_truth/state (Gazebo p3d, 1 kHz) and
-    copies pose/twist into rbdState; in simulation we read the sim state
-    directly. The first-sample ZYX offset removal of StateEstimateBase's IMU
-    path is kept for API parity (it is a no-op for perfect odometry started
-    level)."""
+    copies pose/twist into rbdState *without* any offset removal
+    (FromTopiceEstimate.cpp:23-38 — the first-sample ZYX offset belongs to
+    the IMU path only, StateEstimateBase.cpp:46-68); applying it here while
+    leaving base_pos/v_world/omega_world unrotated would mix frames for a
+    nonzero initial yaw."""
 
     def __init__(self, model: RobotModel):
         self.model = model
-        self._zyx_offset = None
 
     def reset(self):
-        self._zyx_offset = None
+        pass
 
     def update(self, zyx, base_pos, omega_world, v_world, qj, vj):
-        if self._zyx_offset is None:
-            # yaw-only offset removal: roll/pitch are gravity-referenced
-            self._zyx_offset = jnp.array([float(zyx[0]), 0.0, 0.0], dtype=zyx.dtype)
-        zyx = zyx - self._zyx_offset
         return assemble_rbd(
             self.model, zyx, base_pos, omega_world, v_world, qj, vj
         )

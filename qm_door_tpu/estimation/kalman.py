@@ -138,7 +138,10 @@ def kf_step(
         [
             p_rel.reshape(12),
             (-v_rel).reshape(12),
-            jnp.full(4, terrain_height, dtype=dtype),
+            # scalar (flat ground) or per-foot (4,) terrain heights — the
+            # caller evaluates sim.terrain_height at each foot xy on
+            # non-flat worlds (see sim/closed_loop.py)
+            jnp.broadcast_to(jnp.asarray(terrain_height, dtype=dtype), (4,)),
         ]
     )
 
@@ -185,17 +188,21 @@ class KalmanFilterEstimate:
         self.params = params
         self._state = None
         self._zyx_offset = None
+        self._R_shift = None
         self._step = jax.jit(
-            lambda st, zyx, om, acc, qj, vj, flags, dt: kf_step(
-                model, params, st, zyx, om, acc, qj, vj, flags, dt
+            lambda st, zyx, om, acc, qj, vj, flags, dt, th: kf_step(
+                model, params, st, zyx, om, acc, qj, vj, flags, dt,
+                terrain_height=th,
             )
         )
 
     def reset(self, q0):
         self._state = kf_init(self.model, q0, self.params)
         self._zyx_offset = None
+        self._R_shift = None
 
-    def update(self, zyx, omega_world, acc_body, qj, vj, contact_flags, dt):
+    def update(self, zyx, omega_world, acc_body, qj, vj, contact_flags, dt,
+               terrain_height=0.0):
         if self._state is None:
             q0 = jnp.concatenate([jnp.zeros(3, dtype=zyx.dtype), zyx, qj])
             self.reset(q0)
@@ -203,9 +210,19 @@ class KalmanFilterEstimate:
             self._zyx_offset = jnp.array(
                 [float(zyx[0]), 0.0, 0.0], dtype=zyx.dtype
             )
+            # Every estimated quantity lives in the yaw-shifted world frame
+            # (the IMU-path first-sample offset removal of
+            # StateEstimateBase.cpp:46-68); world-frame inputs must be
+            # rotated into it, or kf_step would cross a true-world omega
+            # with yaw-shifted foot positions.
+            self._R_shift = spatial.zyx_to_rot(
+                jnp.array([-float(zyx[0]), 0.0, 0.0], dtype=zyx.dtype)
+            )
         zyx = zyx - self._zyx_offset
+        omega_world = spatial.fmv(self._R_shift, omega_world)
         self._state, rbd = self._step(
-            self._state, zyx, omega_world, acc_body, qj, vj, contact_flags, dt
+            self._state, zyx, omega_world, acc_body, qj, vj, contact_flags,
+            dt, jnp.asarray(terrain_height, dtype=zyx.dtype),
         )
         return rbd
 

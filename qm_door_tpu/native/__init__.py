@@ -24,8 +24,12 @@ _lib_err = None
 
 
 def _build():
+    # Portable baseline ISA on purpose: the .so is rebuilt on demand per
+    # machine, but a stale binary may survive a copy between hosts —
+    # -march=native there would SIGILL on a CPU lacking the build host's
+    # extensions instead of falling back.
     cmd = [
-        "g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-march=native",
+        "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
         _SRC, "-o", _SO, "-lpthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -39,7 +43,12 @@ def load():
     try:
         if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             _build()
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+            lib.qm_mailbox_create  # trial symbol lookup before trusting it
+        except OSError:
+            _build()  # stale/foreign binary: rebuild once, then retry
+            lib = ctypes.CDLL(_SO)
         lib.qm_mailbox_create.restype = ctypes.c_void_p
         lib.qm_mailbox_create.argtypes = [ctypes.c_uint64]
         lib.qm_mailbox_destroy.argtypes = [ctypes.c_void_p]

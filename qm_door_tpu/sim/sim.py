@@ -132,11 +132,19 @@ def sim_step(model: RobotModel, cfg: SimConfig, state: SimState, command_stack,
     return state.replace(q=q_new, v=v_new, t=state.t + cfg.dt)
 
 
-@jax.jit
-def contact_flags_from_sim(model: RobotModel, q, threshold=0.002):
-    """Ground-truth contact flags from foot height (ContactSensor stand-in)."""
+@partial(jax.jit, static_argnames=("threshold",))
+def contact_flags_from_sim(model: RobotModel, q, threshold=0.002, cfg=None):
+    """Ground-truth contact flags from foot height above the *terrain*
+    (ContactSensor stand-in). Pass ``cfg`` on non-flat worlds — thresholding
+    absolute z would never register stance on a raised step/stair."""
+    from .terrain import terrain_height
+
     p = kinematics.contact_positions(model, q)
-    return (p[:, 2] < threshold).astype(q.dtype)
+    if cfg is None:
+        ground = 0.0
+    else:
+        ground = terrain_height(cfg.terrain, p[:, 0], p[:, 1], cfg.terrain_params)
+    return (p[:, 2] - ground < threshold).astype(q.dtype)
 
 
 def measured_rbd(model: RobotModel, state: SimState):
