@@ -147,6 +147,27 @@ class WbcSettings:
 
 
 @dataclass
+class ForceTrackingSettings:
+    """Force-tracking NMPC extension (BASELINE config #4; the reference's
+    force-tracking branch models the arm EE as an extra contact —
+    README.md 'three branches'). Input widens 30->36 with an EE wrench."""
+
+    # R weights of the wrench input: tracking stiffness toward the wrench
+    # reference (same 1e-3 scaling convention as CostSettings.r_scaling).
+    # Deliberately ~100x the foot-force weight: the wrench is a *commanded*
+    # quantity — with a weight comparable to the foot forces the optimizer
+    # recruits it as a free actuator against unrelated cost residuals
+    # (measured: sign-flipped wrench at r_ee_force = 5).
+    r_ee_force: float = 500.0
+    r_ee_torque: float = 2000.0
+    # soft box on the commanded wrench (N / N m)
+    force_limit: float = 80.0
+    torque_limit: float = 15.0
+    limit_mu: float = 0.1
+    limit_delta: float = 1e-3
+
+
+@dataclass
 class ReferenceSettings:
     target_displacement_velocity: float = 0.2
     target_rotation_velocity: float = 0.1
@@ -181,6 +202,7 @@ class QmConfig:
     wbc: WbcSettings = field(default_factory=WbcSettings)
     reference: ReferenceSettings = field(default_factory=ReferenceSettings)
     controller: ControllerSettings = field(default_factory=ControllerSettings)
+    force_tracking: ForceTrackingSettings = field(default_factory=ForceTrackingSettings)
 
     def initial_state(self) -> np.ndarray:
         """task.info initialState (30)."""

@@ -47,6 +47,18 @@ def joint_velocities(u):
     return u[..., 12:30]
 
 
+def ee_wrench(u):
+    """Force-tracking input extension: EE wrench [force(3); torque(3)].
+
+    The extended input u (36) = [foot forces (12); joint velocities (18);
+    EE wrench (6)] — appended so every 30-dim accessor stays valid. The
+    reference's force-tracking branch (README.md 'three branches' section,
+    not in the mounted snapshot) models the arm EE as a 5th contact; here it
+    is a full 6-D wrench so door-lever torques are expressible too.
+    """
+    return u[..., 30:36]
+
+
 def pinocchio_q(x):
     """Centroidal state -> generalized coordinates q (24)."""
     return x[..., 6:30]
@@ -97,6 +109,40 @@ def flow_map(model: RobotModel, x, u):
     hdot_ang = jnp.sum(jnp.cross(p_c - com, F), axis=0) / m
     v_b = base_velocity(model, x, u)
     return jnp.concatenate([hdot_lin, hdot_ang, v_b, joint_velocities(u)])
+
+
+@jax.jit
+def flow_map_ft(model: RobotModel, x, u):
+    """Force-tracking flow map: centroidal dynamics with the EE wrench as a
+    5th contact (u (36), see :func:`ee_wrench`).
+
+    The wrench [F_ee; tau_ee] acts at the arm EE frame: it adds F_ee/m to the
+    linear momentum rate and (cross(p_ee - com, F_ee) + tau_ee)/m to the
+    angular rate — exactly the foot-force pattern plus the free torque term.
+    """
+    from .dynamics import com_position
+    from .kinematics import contact_positions, ee_pose
+
+    q = pinocchio_q(x)
+    m = jnp.sum(model.body_mass)
+    F = contact_forces(u)
+    W = ee_wrench(u)
+    p_c = contact_positions(model, q)
+    com = com_position(model, q)
+    _, p_ee = ee_pose(model, q)
+    g = jnp.array([0.0, 0.0, -GRAVITY], dtype=x.dtype)
+    hdot_lin = (jnp.sum(F, axis=0) + W[0:3]) / m + g
+    hdot_ang = (
+        jnp.sum(jnp.cross(p_c - com, F), axis=0)
+        + jnp.cross(p_ee - com, W[0:3]) + W[3:6]
+    ) / m
+    v_b = base_velocity(model, x, u)
+    return jnp.concatenate([hdot_lin, hdot_ang, v_b, joint_velocities(u)])
+
+
+def flow_map_any(model: RobotModel, x, u):
+    """Dispatch on the (static) input width: 30 -> nominal, 36 -> wrench."""
+    return flow_map_ft(model, x, u) if u.shape[-1] == 36 else flow_map(model, x, u)
 
 
 @jax.jit

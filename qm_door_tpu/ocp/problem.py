@@ -50,6 +50,11 @@ class OcpConfig:
     arm_pos_upper: jnp.ndarray
     arm_vel_lower: jnp.ndarray
     arm_vel_upper: jnp.ndarray
+    # force-tracking only (ocp/force.py): soft box on the EE wrench input
+    wrench_lower: jnp.ndarray = None  # (6,)
+    wrench_upper: jnp.ndarray = None
+    wrench_mu: float = struct.field(pytree_node=False, default=0.1)
+    wrench_delta: float = struct.field(pytree_node=False, default=1e-3)
 
 
 def make_ocp_config(model: RobotModel, cfg, dtype=jnp.float64) -> OcpConfig:
@@ -97,16 +102,23 @@ def make_ocp_config(model: RobotModel, cfg, dtype=jnp.float64) -> OcpConfig:
 
 @struct.dataclass
 class StageData:
-    """Per-solve reference arrays over the N+1 node grid (all fixed-shape)."""
+    """Per-solve reference arrays over the N+1 node grid (all fixed-shape).
+
+    The two trailing fields exist only on the force-tracking problem
+    (u_nom widens to 36 there; see ocp/force.py): ``grasp_flags`` gates the
+    EE-wrench input like contact_flags gate foot forces, and the wrench
+    reference lives in u_nom[..., 30:36].
+    """
 
     times: jnp.ndarray          # (N+1,)
     contact_flags: jnp.ndarray  # (N+1, 4)
     x_nom: jnp.ndarray          # (N+1, 30) desired state (tracking cost)
-    u_nom: jnp.ndarray          # (N+1, 30) weight-compensating input
+    u_nom: jnp.ndarray          # (N+1, nu) weight-compensating input
     ee_pos_ref: jnp.ndarray     # (N+1, 3)
     ee_quat_ref: jnp.ndarray    # (N+1, 4) xyzw
     z_vel_ref: jnp.ndarray      # (N+1, 4) swing normal-velocity reference
     z_pos_ref: jnp.ndarray      # (N+1, 4)
+    grasp_flags: jnp.ndarray = None   # (N+1,) 1 = EE wrench active (ft only)
 
 
 def build_stage_data(
@@ -192,7 +204,13 @@ def _soft_limits_cost(ocp: OcpConfig, x, u):
     vel = penalties.box_barrier(
         arm_v, ocp.arm_vel_lower, ocp.arm_vel_upper, ocp.limit_vel_mu, ocp.limit_vel_delta
     )
-    return jnp.sum(pos) + jnp.sum(vel)
+    c = jnp.sum(pos) + jnp.sum(vel)
+    if u.shape[-1] == 36 and ocp.wrench_lower is not None:
+        c = c + jnp.sum(penalties.box_barrier(
+            u[30:36], ocp.wrench_lower, ocp.wrench_upper,
+            ocp.wrench_mu, ocp.wrench_delta
+        ))
+    return c
 
 
 def _cone_cost(ocp: OcpConfig, u, contact_flags):
@@ -265,6 +283,7 @@ def quadratize_stage(model: RobotModel, ocp: OcpConfig, stage: StageData, k, x, 
     fused linearization pipeline.
     """
     dtype = x.dtype
+    nu = u.shape[-1]  # 30 nominal, 36 force-tracking (EE wrench appended)
     dx = x - stage.x_nom[k]
     du = u - stage.u_nom[k]
 
@@ -273,7 +292,7 @@ def quadratize_stage(model: RobotModel, ocp: OcpConfig, stage: StageData, k, x, 
     lu = ocp.R @ du
     lxx = ocp.Q
     luu = ocp.R
-    lux = jnp.zeros((30, 30), dtype=dtype)
+    lux = jnp.zeros((nu, 30), dtype=dtype)
 
     # EE penalty (Gauss-Newton on the 6-dim error)
     if ee_lin is None:
@@ -305,7 +324,9 @@ def quadratize_stage(model: RobotModel, ocp: OcpConfig, stage: StageData, k, x, 
         ddp[:, None, None] * dh[:, :, None] * dh[:, None, :] + dp[:, None, None] * Hh
     )  # (4,3,3)
     lu = lu.at[0:12].add(gF.reshape(12))
-    luu = luu + jax.scipy.linalg.block_diag(*[HF[i] for i in range(4)], jnp.zeros((18, 18), dtype=dtype))
+    luu = luu + jax.scipy.linalg.block_diag(
+        *[HF[i] for i in range(4)], jnp.zeros((nu - 12, nu - 12), dtype=dtype)
+    )
 
     # soft box limits (exact, diagonal)
     arm_q = x[24:30]
@@ -320,7 +341,21 @@ def quadratize_stage(model: RobotModel, ocp: OcpConfig, stage: StageData, k, x, 
     dxx = penalties.box_barrier_dd(arm_q, ocp.arm_pos_lower, ocp.arm_pos_upper, ocp.limit_pos_mu, ocp.limit_pos_delta)
     duu = penalties.box_barrier_dd(arm_v, ocp.arm_vel_lower, ocp.arm_vel_upper, ocp.limit_vel_mu, ocp.limit_vel_delta)
     lxx = lxx + jnp.diag(jnp.concatenate([jnp.zeros(24, dtype=dtype), dxx]))
-    luu = luu + jnp.diag(jnp.concatenate([jnp.zeros(24, dtype=dtype), duu]))
+    luu = luu + jnp.diag(jnp.concatenate(
+        [jnp.zeros(24, dtype=dtype), duu, jnp.zeros(nu - 30, dtype=dtype)]
+    ))
+
+    # EE wrench soft box (force-tracking only; value term is inside
+    # _soft_limits_cost already)
+    if nu == 36 and ocp.wrench_lower is not None:
+        w = u[30:36]
+        lu = lu.at[30:36].add(penalties.box_barrier_d(
+            w, ocp.wrench_lower, ocp.wrench_upper, ocp.wrench_mu, ocp.wrench_delta
+        ))
+        dww = penalties.box_barrier_dd(
+            w, ocp.wrench_lower, ocp.wrench_upper, ocp.wrench_mu, ocp.wrench_delta
+        )
+        luu = luu + jnp.diag(jnp.concatenate([jnp.zeros(30, dtype=dtype), dww]))
 
     return l, lx, lu, lxx, luu, lux
 

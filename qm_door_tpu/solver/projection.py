@@ -54,3 +54,28 @@ def project_node_chol(flags, F_bar, g0, Gx, Gv, shift):
     reg = reg.at[12:30, 12:30].set(jnp.eye(18, dtype=dtype) - P)
     reg = reg + shift * jnp.eye(NU_RED_PROJ, dtype=dtype)
     return p, Pu, Px, reg
+
+
+def project_node_chol_ft(flags, grasp, F_bar, W_bar, g0, Gx, Gv, shift):
+    """Force-tracking variant: u (36) = [F (12); v_j (18); W_ee (6)].
+
+    The EE wrench is eliminated exactly like swing-foot forces: when the
+    grasp flag is 0 the wrench delta is pinned to -W_bar (zero wrench in the
+    plan) and its reduced dims are identity-regularized; when grasping the
+    wrench is a free tracked input. Reduced input dim 36.
+    """
+    dtype = g0.dtype
+    p0, Pu0, Px0, reg0 = project_node_chol(flags, F_bar, g0, Gx, Gv, 0.0)
+    g = grasp.astype(dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    p = jnp.concatenate([p0, -(1.0 - g) * W_bar])
+    Pu = jnp.zeros((36, 36), dtype=dtype)
+    Pu = Pu.at[0:30, 0:30].set(Pu0)
+    Pu = Pu.at[30:36, 30:36].set(g * eye6)
+    Px = jnp.concatenate([Px0, jnp.zeros((6, NX), dtype=dtype)], axis=0)
+    reg = jnp.zeros((36, 36), dtype=dtype)
+    reg = reg.at[0:30, 0:30].set(reg0)
+    reg = reg.at[30:36, 30:36].set((1.0 - g) * eye6)
+    reg = reg + shift * jnp.eye(36, dtype=dtype)
+    return p, Pu, Px, reg

@@ -64,7 +64,11 @@ def evaluate_trajectory(model: RobotModel, ocp: OcpConfig, stage: StageData, dt,
         )
         swing = 1.0 - jnp.repeat(stage.contact_flags[k], 3)
         zero_force = swing * u[0:12]
-        return jnp.sum(g * g) + jnp.sum(zero_force * zero_force)
+        sse = jnp.sum(g * g) + jnp.sum(zero_force * zero_force)
+        if u.shape[-1] == 36:  # force-tracking: zero wrench off-grasp
+            zero_wrench = (1.0 - stage.grasp_flags[k]) * u[30:36]
+            sse = sse + jnp.sum(zero_wrench * zero_wrench)
+        return sse
 
     eq_sse = jnp.sum(jax.vmap(node_eq)(ks, X[:-1], U))
     violation = jnp.sum(defects * defects) + eq_sse
@@ -140,6 +144,9 @@ def sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, setti
     cost0 = lq.cost
     swing = 1.0 - jnp.repeat(stage.contact_flags[: U.shape[0]], 3, axis=-1)
     zero_force_sse = jnp.sum((swing * U[:, 0:12]) ** 2)
+    if U.shape[-1] == 36:  # force-tracking: zero wrench off-grasp
+        off = 1.0 - stage.grasp_flags[: U.shape[0], None]
+        zero_force_sse = zero_force_sse + jnp.sum((off * U[:, 30:36]) ** 2)
     viol0 = jnp.sum(lq.d * lq.d) + jnp.sum(lq.g0 * lq.g0) + zero_force_sse
     alpha, cost_new, viol_new = _linesearch(
         model, ocp, stage, dt, X, U, dX, dU, cost0, viol0, settings

@@ -45,9 +45,10 @@ NC_ROWS = 12  # masked foot-velocity rows
 
 def rk2_step(model: RobotModel, x, u, dt):
     """Heun / explicit midpoint (OCS2 SensitivityIntegrator RK2): input held
-    constant over the interval."""
-    k1 = centroidal.flow_map(model, x, u)
-    k2 = centroidal.flow_map(model, x + dt * k1, u)
+    constant over the interval. Dispatches on the static input width
+    (30 nominal / 36 force-tracking)."""
+    k1 = centroidal.flow_map_any(model, x, u)
+    k2 = centroidal.flow_map_any(model, x + dt * k1, u)
     return x + 0.5 * dt * (k1 + k2)
 
 
@@ -133,6 +134,26 @@ def _flow_force_cols(model, x):
     return jnp.concatenate([lin, ang, zeros], axis=0)
 
 
+def _flow_wrench_cols(model, x):
+    """Analytic d(flow_map_ft)/dW_ee (30, 6): the EE wrench enters only the
+    momentum-rate rows — d hdot_lin/dF_ee = I/m, d hdot_ang/dF_ee =
+    skew(p_ee - com)/m, d hdot_ang/dtau_ee = I/m."""
+    from ..models import dynamics as dyn
+    from ..models import kinematics as kin
+    from ..models import spatial
+
+    q = centroidal.pinocchio_q(x)
+    m = jnp.sum(model.body_mass)
+    _, p_ee = kin.ee_pose(model, q)
+    com = dyn.com_position(model, q)
+    eye = jnp.eye(3, dtype=x.dtype)
+    z3 = jnp.zeros((3, 3), dtype=x.dtype)
+    lin = jnp.concatenate([eye / m, z3], axis=1)                      # (3,6)
+    ang = jnp.concatenate([spatial.skew(p_ee - com) / m, eye / m], axis=1)
+    zeros = jnp.zeros((24, 6), dtype=x.dtype)
+    return jnp.concatenate([lin, ang, zeros], axis=0)
+
+
 def _momentum_velocity_coeffs(model, q, dtype):
     """Linear-structure coefficients of the base velocity at fixed q:
 
@@ -172,6 +193,7 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
     from ..ocp.problem import _ee_error
 
     dtype = x.dtype
+    nu = u.shape[-1]  # 30 nominal / 36 force-tracking
     h_bar, q_bar = x[0:6], x[6:30]
     u_bar = u
     F_bar = u[0:12]
@@ -180,7 +202,7 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
 
     def stage1(q_):
         x_ = jnp.concatenate([h_bar, q_])
-        f1 = centroidal.flow_map(model, x_, u_bar)
+        f1 = centroidal.flow_map_any(model, x_, u_bar)
         g = cons.velocity_constraint(model, x_, u_bar, flags, zref)
         e = _ee_error(model, ocp, x_, stage.ee_pos_ref[k], stage.ee_quat_ref[k])
         return jnp.concatenate([f1, g, e])
@@ -206,7 +228,10 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
     dg_dvj = mask[:, None] * (Jlin[:, :6] @ dvb_dvj + Jlin[:, 6:])
 
     df1_dx = jnp.concatenate([df1_dh, dq_f1], axis=1)             # (30, 30)
-    df1_du = jnp.concatenate([_flow_force_cols(model, x), df1_dvj], axis=1)
+    du_cols1 = [_flow_force_cols(model, x), df1_dvj]
+    if nu == 36:
+        du_cols1.append(_flow_wrench_cols(model, x))
+    df1_du = jnp.concatenate(du_cols1, axis=1)                    # (30, nu)
     Gx = jnp.concatenate([dg_dh, dq_g], axis=1)                   # (12, 30)
     Gv = dg_dvj
     Je = jnp.concatenate([jnp.zeros((6, 6), dtype=dtype), Je_q], axis=1)
@@ -215,7 +240,7 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
     h2, q2 = x2[0:6], x2[6:30]
 
     def stage2(q_):
-        return centroidal.flow_map(model, jnp.concatenate([h2, q_]), u_bar)
+        return centroidal.flow_map_any(model, jnp.concatenate([h2, q_]), u_bar)
 
     f2, jvp2 = jax.linearize(stage2, q2)
     J2q = jax.vmap(jvp2)(jnp.eye(24, dtype=dtype)).T              # (30, 24)
@@ -225,7 +250,10 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
         [z6_18, dvb2_dvj, jnp.eye(18, dtype=dtype)], axis=0
     )
     df2_dx2 = jnp.concatenate([df2_dh, J2q], axis=1)
-    df2_du = jnp.concatenate([_flow_force_cols(model, x2), df2_dvj], axis=1)
+    du_cols2 = [_flow_force_cols(model, x2), df2_dvj]
+    if nu == 36:
+        du_cols2.append(_flow_wrench_cols(model, x2))
+    df2_du = jnp.concatenate(du_cols2, axis=1)                    # (30, nu)
 
     # RK2 (Heun) discrete sensitivities: Phi = x + dt/2 (f1 + f2(x + dt f1, u))
     eye30 = jnp.eye(30, dtype=x.dtype)
@@ -338,13 +366,22 @@ def project_ocp(lq: LqProblem, stage: StageData, U, shift=1e-5,
     "qr" (orthonormal padded basis, reduced dim 26). Both are exact; see
     tests/test_solver.py for the equivalence check.
     """
-    from .projection import project_node_chol
+    from .projection import project_node_chol, project_node_chol_ft
 
-    node_fn = project_node_chol if method == "chol" else _project_node
+    N = U.shape[0]
     F_bar = U[:, 0:12]
-    p, Pu, Px, reg = jax.vmap(partial(node_fn, shift=shift))(
-        stage.contact_flags[: U.shape[0]], F_bar, lq.g0, lq.Gx, lq.Gv
-    )
+    if U.shape[-1] == 36:
+        # force-tracking problem: wrench block handled by the chol projector
+        # only (the QR path stays 30-dim).
+        p, Pu, Px, reg = jax.vmap(partial(project_node_chol_ft, shift=shift))(
+            stage.contact_flags[:N], stage.grasp_flags[:N], F_bar,
+            U[:, 30:36], lq.g0, lq.Gx, lq.Gv
+        )
+    else:
+        node_fn = project_node_chol if method == "chol" else _project_node
+        p, Pu, Px, reg = jax.vmap(partial(node_fn, shift=shift))(
+            stage.contact_flags[:N], F_bar, lq.g0, lq.Gx, lq.Gv
+        )
 
     A_bar = lq.A + lq.B @ Px
     B_bar = lq.B @ Pu
