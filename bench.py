@@ -49,6 +49,8 @@ def main():
     # Linesearch candidate count (semantics knob — 4 matches OCS2's grid;
     # 1 bounds the early-exit ceiling for perf triage).
     cfg.sqp.linesearch_steps = int(os.environ.get("QM_BENCH_LS", "4"))
+    cfg.sqp.riccati_unroll = int(os.environ.get("QM_BENCH_UNROLL", "8"))
+    backend = os.environ.get("QM_BENCH_BACKEND", "auto")
     ocp = make_ocp_config(model, cfg, dtype=dtype)
     solver = SqpSolver(model, ocp, cfg)
 
@@ -70,7 +72,7 @@ def main():
     perturb = rng.normal(size=(b, 30)) * 0.02
     x_batch = jnp.asarray(np.asarray(x0)[None, :] + perturb, dtype=dtype)
 
-    mpc = BatchedMpc(solver)
+    mpc = BatchedMpc(solver, backend=backend)
     X, U = mpc.cold_start(stage, x_batch)
 
     # warm-up / compile
@@ -102,6 +104,7 @@ def main():
         "reps": reps,
         "per_solve_us": round(1e6 * elapsed / (b * reps), 2),
         "compile_s": round(compile_s, 1),
+        "backend": mpc.backend,
         "mean_violation": viol,
         "device": str(jax.devices()[0]),
     }

@@ -1,12 +1,16 @@
 """Pallas TPU kernel: batched small SPD solve (Cholesky + two substitutions).
 
-The framework's hot loops factor thousands of small (n <= ~40) SPD systems
-per step — Riccati gain solves (Quu), the equality-projection Gram matrices,
-and the WBC interior-point KKT systems. XLA lowers small batched
-``cholesky``/``triangular_solve`` to loopy per-matrix code; this kernel keeps
-the whole batch resident in VMEM in a lanes-last layout (n, n, B_tile) so
-every scalar operation of the factorization is a 128-lane VPU vector op, and
-the k-loop is fully unrolled at trace time (n is static).
+The solver's dominant primitive is NOT the batched matmul but the batched
+Cholesky gain solve: at (256, 30, 30/31) XLA's cho_factor+cho_solve measured
+~900 us marginal device time vs ~20 us for a batched matmul
+(tools/microbench_ops.py, v5e). This kernel keeps a batch tile resident in
+VMEM in a lanes-last layout (n, n, B_tile) so every scalar operation of the
+factorization is a full-width VPU vector op, with the k-loop unrolled at
+trace time (n is static).
+
+Implementation note: all updates are masked whole-array ops (iota compares +
+where) — slice-assignment ``.at[k:, k:].add`` lowers to scatter-add, which
+Mosaic rejects (KernelType.TC has no scatter).
 
 API: ``spd_solve(A, Y)`` with A (B, n, n) SPD, Y (B, n, m) -> X = A^{-1} Y.
 """
@@ -22,51 +26,55 @@ from jax.experimental.pallas import tpu as pltpu
 BATCH_TILE = 128
 
 
-def _chol_solve_kernel(a_ref, y_ref, x_ref, l_ref, z_ref, *, n, m, shift):
-    # load (n, n, BT) and factor in-place into l_ref
-    A = a_ref[:]  # (n, n, BT)
-    eye_shift = shift
+def _chol_t(M, n, guard=1e-30):
+    """Unrolled Cholesky of a SYMMETRIC (n, n, Bt) batch.
 
-    # right-looking Cholesky, unrolled over the static dimension n
+    Returns Lt with Lt[k] = column k of L (k-major layout, strictly lower:
+    entries above the diagonal are zeroed). Exploits symmetry so the pivot
+    column is read as row A[k] (outer slice); the masked full outer-product
+    Schur update keeps A exactly symmetric, so the trick stays valid."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    A = M
+    cols = []
     for k in range(n):
-        akk = A[k, k, :] + eye_shift
-        inv_d = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
-        col = A[:, k, :] * inv_d[None, :]      # (n, BT)
-        # Store column k of L. Entries above the diagonal (rows < k) hold
-        # stale values but are never read by the substitutions below.
-        l_ref[:, k, :] = col
+        inv_d = jax.lax.rsqrt(jnp.maximum(A[k, k, :], guard))
+        col = A[k] * inv_d[None, :] * (rows >= k)
+        cols.append(col)
         if k + 1 < n:
-            sub = col[k + 1 :, :]              # (n-k-1, BT)
-            A = A.at[k + 1 :, k + 1 :, :].add(
-                -sub[:, None, :] * sub[None, :, :]
-            )
+            A = A - col[:, None, :] * col[None, :, :]
+    return jnp.stack(cols, axis=0)
 
-    L = l_ref[:]  # (n, n, BT), column j holds L[:, j]
 
-    # forward substitution: L z = Y  (z in z_ref, (n, m, BT))
-    Z = y_ref[:]
+def _chol_solve_t(Lt, Y, n):
+    """Solve (L L^T) X = Y with Y (n, m, Bt), Lt from :func:`_chol_t`."""
+    r3 = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    Z = Y
     for i in range(n):
-        zi = Z[i, :, :] / L[i, i, :][None, :]
-        Z = Z.at[i, :, :].set(zi)
-        if i + 1 < n:
-            Z = Z.at[i + 1 :, :, :].add(
-                -L[i + 1 :, i, :][:, None, :] * zi[None, :, :]
-            )
-
-    # backward substitution: L^T x = z
+        Lti = Lt[i]                                        # (n, Bt)
+        zi = Z[i] / Lti[i][None, :]
+        upd = Lti[:, None, :] * zi[None, :, :]
+        Z = jnp.where(r3 == i, zi[None], Z - upd * (r3 > i))
     X = Z
     for i in reversed(range(n)):
-        xi = X[i, :, :] / L[i, i, :][None, :]
-        X = X.at[i, :, :].set(xi)
-        if i > 0:
-            # L^T[j, i] = L[i, j] for j < i
-            X = X.at[:i, :, :].add(-L[i, :i, :][:, None, :] * xi[None, :, :])
-
-    x_ref[:] = X
+        Lti = Lt[i]
+        s = jnp.sum(Lti[:, None, :] * X * (r3 > i), axis=0)
+        xi = (X[i] - s) / Lti[i][None, :]
+        X = jnp.where(r3 == i, xi[None], X)
+    return X
 
 
-@partial(jax.jit, static_argnames=("interpret", "shift"))
-def spd_solve(A, Y, shift: float = 0.0, interpret: bool = False):
+def _spd_kernel(a_ref, y_ref, x_ref, *, n, shift):
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (r == c).astype(a_ref.dtype)[:, :, None]
+    A = a_ref[:] + shift * eye
+    Lt = _chol_t(A, n)
+    x_ref[:] = _chol_solve_t(Lt, y_ref[:], n)
+
+
+@partial(jax.jit, static_argnames=("interpret", "shift", "batch_tile"))
+def spd_solve(A, Y, shift: float = 0.0, interpret: bool = False,
+              batch_tile: int = BATCH_TILE):
     """Solve A X = Y for a batch of SPD matrices.
 
     A: (B, n, n); Y: (B, n, m). Returns X (B, n, m). ``shift`` adds a
@@ -74,7 +82,9 @@ def spd_solve(A, Y, shift: float = 0.0, interpret: bool = False):
     """
     B, n, _ = A.shape
     m = Y.shape[-1]
-    bt = min(BATCH_TILE, B)
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True  # CPU fallback for tests of the hybrid solver path
+    bt = min(batch_tile, B)
     if B % bt != 0:
         pad = bt - B % bt
         A = jnp.concatenate([A, jnp.tile(jnp.eye(n, dtype=A.dtype)[None], (pad, 1, 1))])
@@ -86,7 +96,7 @@ def spd_solve(A, Y, shift: float = 0.0, interpret: bool = False):
 
     grid = (Bp // bt,)
     out = pl.pallas_call(
-        partial(_chol_solve_kernel, n=n, m=m, shift=shift),
+        partial(_spd_kernel, n=n, shift=shift),
         out_shape=jax.ShapeDtypeStruct((n, m, Bp), A.dtype),
         grid=grid,
         in_specs=[
@@ -94,15 +104,35 @@ def spd_solve(A, Y, shift: float = 0.0, interpret: bool = False):
             pl.BlockSpec((n, m, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n, m, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((n, n, bt), A.dtype),
-            pltpu.VMEM((n, m, bt), A.dtype),
-        ],
         interpret=interpret,
     )(At, Yt)
 
     X = jnp.transpose(out, (2, 0, 1))[:B]
     return X
+
+
+def spd_solve_ll(At, Yt, shift: float = 0.0, interpret: bool = False,
+                 batch_tile: int = BATCH_TILE):
+    """Lanes-last variant: At (n, n, B), Yt (n, m, B) -> X (n, m, B).
+
+    Skips the transpose boundary for callers that already hold lanes-last
+    data. B must be a multiple of ``batch_tile`` (or smaller than it).
+    """
+    n = At.shape[0]
+    m = Yt.shape[1]
+    B = At.shape[-1]
+    bt = min(batch_tile, B)
+    return pl.pallas_call(
+        partial(_spd_kernel, n=n, shift=shift),
+        out_shape=jax.ShapeDtypeStruct((n, m, B), At.dtype),
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((n, n, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, m, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, m, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(At, Yt)
 
 
 def spd_solve_reference(A, Y, shift: float = 0.0):

@@ -24,9 +24,10 @@ class BatchedMpc:
     """B scenarios advanced in lock-step. Stage data may be shared
     (broadcast) or per-scenario (leading B axis).
 
-    backend: "auto" (Pallas LQ kernels on TPU, XLA elsewhere), "pallas",
-    or "xla". With a mesh, the whole step runs under shard_map over the
-    scenario axis so the Pallas kernels see only the local shard.
+    backend: "auto" (batch-major + Pallas Cholesky on TPU, batch-major XLA
+    elsewhere), or explicitly "bm_pallas" / "bm_xla" / "xla" / "pallas"
+    (see solver/batched_sqp.py). With a mesh, pallas-backed steps run under
+    shard_map over the scenario axis so the kernels see only the local shard.
     """
 
     def __init__(self, solver: SqpSolver, mesh=None, shared_stage: bool = True,
@@ -34,7 +35,11 @@ class BatchedMpc:
         self.solver = solver
         self.mesh = mesh
         if backend == "auto":
-            backend = "xla"  # pallas LQ kernels measured 28x slower; opt-in
+            # Batch-major sweep; lanes-last Pallas Cholesky gain solve on TPU
+            # (tools/microbench_ops.py: XLA's batched cho_solve is the hot
+            # spot there), batch-major XLA elsewhere.
+            backend = ("bm_pallas" if jax.default_backend() == "tpu"
+                       else "bm_xla")
         self.backend = backend
 
         def fn(stage: StageData, x_init, X, U):
@@ -44,7 +49,7 @@ class BatchedMpc:
                 stage_batched=not shared_stage, backend=backend,
             )
 
-        if mesh is not None and backend == "pallas":
+        if mesh is not None and "pallas" in backend:
             # GSPMD cannot partition an opaque pallas_call: run the whole
             # step under shard_map so each device executes the kernels on
             # its local scenario shard (no collectives on the solve path).

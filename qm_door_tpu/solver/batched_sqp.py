@@ -6,11 +6,16 @@ XLA pads to (8, 128) tiles (docs/PERF.md finding #1). This module is the
 batch-aware formulation of the same math:
 
 - linearization stays a vmap (fused elementwise pipelines — XLA handles it),
-- the projected LQ solve runs on the vmapped XLA path by default. The
-  lanes-last Pallas kernels (ops/pallas_lq.py) remain available via
-  backend="pallas" but measured 28x SLOWER than XLA at production shapes
-  (docs/PERF.md round-2 findings) — XLA's batched cho_solve/matmuls are
-  already near overhead-bound at these sizes,
+- the projected LQ solve defaults to the batch-major formulation
+  (transcription.project_ocp_batched + riccati.lqr_solve_batched): ONE
+  (B*N)-batched SPD solve for the projection and an unrolled batch-major
+  Riccati scan, with the lanes-last Pallas Cholesky kernel
+  (ops/pallas_chol.spd_solve) as the gain/projection solver on TPU where
+  XLA's batched cho_solve is the measured hot spot (~840 us marginal at
+  (256,30,31) vs ~0 for the kernel, tools/microbench_ops.py). Backends:
+  "bm_pallas" (TPU default), "bm_xla" (CPU default), "xla" (per-scenario
+  vmap reference), "pallas" (whole-LQ lanes-last kernels, ops/pallas_lq.py
+  — measured 28x slower, kept as a reference),
 - the filter linesearch becomes an early-exit ``lax.while_loop`` over the
   alpha grid: per iteration one batched trajectory evaluation; the loop stops
   as soon as every scenario has accepted a step. The accepted alpha per
@@ -32,9 +37,9 @@ import jax.numpy as jnp
 from ..models.model import RobotModel
 from ..ocp import constraints as cons
 from ..ocp.problem import OcpConfig, StageData
-from .riccati import lqr_solve
+from .riccati import lqr_solve, lqr_solve_batched
 from .sqp import evaluate_trajectory
-from .transcription import linearize_ocp, project_ocp
+from .transcription import linearize_ocp, project_ocp, project_ocp_batched
 
 
 def _accept(cost0, viol0, costs, viols, alpha, settings):
@@ -63,7 +68,10 @@ def batched_sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData,
     """
     B, N = U.shape[0], U.shape[1]
     if backend == "auto":
-        backend = "xla"  # pallas LQ kernels measured 28x slower; opt-in only
+        # Batch-major sweep with the lanes-last Pallas Cholesky on TPU
+        # (XLA's batched cho_solve is the measured hot spot there); plain
+        # batch-major XLA elsewhere.
+        backend = "bm_pallas" if jax.default_backend() == "tpu" else "bm_xla"
 
     stage_axis = 0 if stage_batched else None
 
@@ -78,7 +86,24 @@ def batched_sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData,
         flags = jnp.broadcast_to(flags, (B, N, 4))
 
     dx0 = x_init - X[:, 0]
-    if backend == "pallas":
+    if backend in ("bm_pallas", "bm_xla"):
+        # Batch-major: ONE (B*N)-batched SPD solve in the projection, and a
+        # batch-major Riccati scan (Pallas gain solve on TPU, unrolled to
+        # amortize the per-iteration dispatch overhead — both measured,
+        # tools/microbench_ops.py).
+        sub = "pallas" if backend == "bm_pallas" else "xla"
+        grasp = None
+        if U.shape[-1] == 36:
+            grasp = stage.grasp_flags[..., :N]
+            if not stage_batched:
+                grasp = jnp.broadcast_to(grasp, (B, N))
+        plq = project_ocp_batched(
+            lq, flags, U, shift=settings.hessian_shift, grasp=grasp,
+            backend=sub)
+        dX, dU, _, _ = lqr_solve_batched(
+            plq, dx0, backend=sub,
+            unroll=getattr(settings, "riccati_unroll", 8))
+    elif backend == "pallas":
         from ..ops.pallas_lq import solve_lq_batched
 
         act = cons.velocity_row_mask(flags)
@@ -86,22 +111,36 @@ def batched_sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData,
         dX, dU = solve_lq_batched(
             lq, act, fm, U[:, :, :12], dx0, shift=settings.hessian_shift)
     else:
-        def lq_solve_one(lq_k, flags_k, U_k, dx0_k):
+        grasp_b = None
+        if U.shape[-1] == 36:
+            grasp_b = stage.grasp_flags[..., :N]
+            if not stage_batched:
+                grasp_b = jnp.broadcast_to(grasp_b, (B, N))
+
+        def lq_solve_one(lq_k, flags_k, grasp_k, U_k, dx0_k):
             import types
 
-            stage_k = types.SimpleNamespace(contact_flags=flags_k)
+            stage_k = types.SimpleNamespace(
+                contact_flags=flags_k, grasp_flags=grasp_k)
             plq = project_ocp(lq_k, stage_k, U_k,
                               shift=settings.hessian_shift,
                               method=settings.projection)
             dXk, dUk, _, _ = lqr_solve(plq, dx0_k)
             return dXk, dUk
 
-        dX, dU = jax.vmap(lq_solve_one)(lq, flags, U, dx0)
+        dX, dU = jax.vmap(lq_solve_one, in_axes=(0, 0, None if grasp_b is None else 0, 0, 0))(
+            lq, flags, grasp_b, U, dx0)
 
     # Baseline merit from linearization byproducts (see sqp.sqp_iteration).
     cost0 = lq.cost                                        # (B,)
     swing = 1.0 - jnp.repeat(flags, 3, axis=-1)
     zero_force_sse = jnp.sum((swing * U[:, :, 0:12]) ** 2, axis=(1, 2))
+    if U.shape[-1] == 36:  # force-tracking: zero wrench off-grasp
+        g = stage.grasp_flags[..., :N]
+        if not stage_batched:
+            g = jnp.broadcast_to(g, (B, N))
+        zero_force_sse = zero_force_sse + jnp.sum(
+            ((1.0 - g[..., None]) * U[:, :, 30:36]) ** 2, axis=(1, 2))
     viol0 = (jnp.sum(lq.d * lq.d, axis=(1, 2))
              + jnp.sum(lq.g0 * lq.g0, axis=(1, 2)) + zero_force_sse)
 

@@ -76,3 +76,96 @@ def lqr_solve(lq: ProjectedLq, dx0):
     K, kff, _, _ = riccati_backward(lq)
     dX, _, dU = riccati_forward(lq, K, kff, dx0)
     return dX, dU, K, kff
+
+
+# ---------------------------------------------------------------------------
+# Batch-major sweeps (production batched path)
+# ---------------------------------------------------------------------------
+#
+# vmapping the per-scenario sweep leaves two pathologies on TPU (measured,
+# tools/microbench_ops.py on a v5e at batch 256):
+#   1. XLA's batched cho_factor+cho_solve costs ~840 us marginal per scan
+#      step — 40x the batched matmuls it sits between. The lanes-last Pallas
+#      kernel (ops/pallas_chol.spd_solve) does the same solve in ~0 marginal.
+#   2. each while-loop iteration carries ~420 us of fixed overhead on this
+#      platform; ``unroll`` trades compile time for removing it.
+# The batch-major formulation also lets the Pallas kernel (which has no
+# batching rule) sit inside the scan directly.
+
+def _gain_solve(Quu, rhs, backend: str):
+    if backend == "pallas":
+        from ..ops.pallas_chol import spd_solve
+
+        return spd_solve(Quu, rhs)
+
+    def one(q, r):
+        chol = jax.scipy.linalg.cho_factor(q)
+        return jax.scipy.linalg.cho_solve(chol, r)
+
+    return jax.vmap(one)(Quu, rhs)
+
+
+def riccati_backward_batched(lq: ProjectedLq, backend: str = "xla",
+                             unroll: int = 8):
+    """Backward sweep over (B, N, ...) LQ data. Returns K (B,N,nu,nx),
+    kff (B,N,nu)."""
+    nx = lq.A.shape[-1]
+
+    def step(carry, inp):
+        S, s = carry
+        A, AT, B, BT, d, lx, lu, lxx, luu, lux = inp
+        Sd_s = jnp.einsum("bij,bj->bi", S, d) + s
+        Qx = lx + jnp.einsum("bij,bj->bi", AT, Sd_s)
+        Qu = lu + jnp.einsum("bij,bj->bi", BT, Sd_s)
+        SA = S @ A
+        SB = S @ B
+        Qxx = lxx + AT @ SA
+        Quu = luu + BT @ SB
+        Qux = lux + BT @ SA
+        Quu = 0.5 * (Quu + jnp.swapaxes(Quu, -1, -2))
+        rhs = jnp.concatenate([Qux, Qu[..., None]], axis=-1)
+        sol = -_gain_solve(Quu, rhs, backend)
+        K, kff = sol[..., :nx], sol[..., nx]
+        QuxT = jnp.swapaxes(Qux, -1, -2)
+        S_new = Qxx + QuxT @ K
+        S_new = 0.5 * (S_new + jnp.swapaxes(S_new, -1, -2))
+        s_new = Qx + jnp.einsum("bij,bj->bi", QuxT, kff)
+        return (S_new, s_new), (K, kff)
+
+    AT = jnp.swapaxes(lq.A, -1, -2)
+    BT = jnp.swapaxes(lq.B, -1, -2)
+    inputs = jax.tree.map(
+        lambda x: jnp.swapaxes(x, 0, 1),
+        (lq.A, AT, lq.B, BT, lq.d, lq.lx, lq.lu, lq.lxx, lq.luu, lq.lux),
+    )
+    (S0, s0), (K, kff) = jax.lax.scan(
+        step, (lq.lxx_f, lq.lx_f), inputs, reverse=True, unroll=unroll
+    )
+    return jnp.swapaxes(K, 0, 1), jnp.swapaxes(kff, 0, 1)
+
+
+def riccati_forward_batched(lq: ProjectedLq, K, kff, dx0, unroll: int = 8):
+    """Forward rollout over (B, N, ...). Returns (dX (B,N+1,nx), dU (B,N,nu_full))."""
+
+    def step(dx, inp):
+        A, B, d, Kk, kk, p, Pu, Px = inp
+        u_red = kk + jnp.einsum("bij,bj->bi", Kk, dx)
+        du = p + jnp.einsum("bij,bj->bi", Pu, u_red) + jnp.einsum("bij,bj->bi", Px, dx)
+        dx_next = jnp.einsum("bij,bj->bi", A, dx) + jnp.einsum("bij,bj->bi", B, u_red) + d
+        return dx_next, (dx, du)
+
+    inputs = jax.tree.map(
+        lambda x: jnp.swapaxes(x, 0, 1),
+        (lq.A, lq.B, lq.d, K, kff, lq.p, lq.Pu, lq.Px),
+    )
+    dxN, (dX, dU) = jax.lax.scan(step, dx0, inputs, unroll=unroll)
+    dX = jnp.concatenate([jnp.swapaxes(dX, 0, 1), dxN[:, None]], axis=1)
+    return dX, jnp.swapaxes(dU, 0, 1)
+
+
+def lqr_solve_batched(lq: ProjectedLq, dx0, backend: str = "xla",
+                      unroll: int = 8):
+    """Batch-major backward + forward. lq leaves carry (B, N, ...); dx0 (B, nx)."""
+    K, kff = riccati_backward_batched(lq, backend=backend, unroll=unroll)
+    dX, dU = riccati_forward_batched(lq, K, kff, dx0, unroll=unroll)
+    return dX, dU, K, kff

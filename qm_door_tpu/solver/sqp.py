@@ -178,6 +178,7 @@ class _SqpSettingsStatic(NamedTuple):
     riccati: str = "scan"
     linesearch_steps: int = 4
     lin_chunk: int = 0
+    riccati_unroll: int = 8  # batch-major sweeps only (riccati.py)
 
 
 def _settings_static(cfg_sqp) -> "_SqpSettingsStatic":
@@ -195,6 +196,7 @@ def _settings_static(cfg_sqp) -> "_SqpSettingsStatic":
         riccati=getattr(cfg_sqp, "riccati", "scan"),
         linesearch_steps=getattr(cfg_sqp, "linesearch_steps", 4),
         lin_chunk=getattr(cfg_sqp, "lin_chunk", 0),
+        riccati_unroll=getattr(cfg_sqp, "riccati_unroll", 8),
     )
 
 

@@ -383,29 +383,38 @@ def project_ocp(lq: LqProblem, stage: StageData, U, shift=1e-5,
             stage.contact_flags[:N], F_bar, lq.g0, lq.Gx, lq.Gv
         )
 
+    return _apply_projection(lq, p, Pu, Px, reg)
+
+
+def _apply_projection(lq: LqProblem, p, Pu, Px, reg) -> ProjectedLq:
+    """Substitute du = p + Pu u_red + Px dx into dynamics and cost.
+
+    Ellipsis einsums: works for per-scenario (N, ...) and batched (B, N, ...)
+    LQ data alike.
+    """
     A_bar = lq.A + lq.B @ Px
     B_bar = lq.B @ Pu
-    d_bar = lq.d + jnp.einsum("kij,kj->ki", lq.B, p)
+    d_bar = lq.d + jnp.einsum("...ij,...j->...i", lq.B, p)
 
     # Cost substitution du = p + Pu u + Px dx into
     #   1/2 dx'lxx dx + 1/2 du'luu du + du'lux dx + lx'dx + lu'du :
-    lu_p = lq.lu + jnp.einsum("kij,kj->ki", lq.luu, p)          # lu + luu p
+    lu_p = lq.lu + jnp.einsum("...ij,...j->...i", lq.luu, p)     # lu + luu p
     lx_bar = (
         lq.lx
-        + jnp.einsum("kui,ku->ki", Px, lu_p)                     # Px^T (lu + luu p)
-        + jnp.einsum("kui,ku->ki", lq.lux, p)                    # lux^T p
+        + jnp.einsum("...ui,...u->...i", Px, lu_p)               # Px^T (lu + luu p)
+        + jnp.einsum("...ui,...u->...i", lq.lux, p)              # lux^T p
     )
-    lu_bar = jnp.einsum("kui,ku->ki", Pu, lu_p)
-    PxT_lux = jnp.einsum("kui,kux->kix", Px, lq.lux)             # Px^T lux
+    lu_bar = jnp.einsum("...ui,...u->...i", Pu, lu_p)
+    PxT_lux = jnp.einsum("...ui,...ux->...ix", Px, lq.lux)       # Px^T lux
     lxx_bar = (
         lq.lxx
         + PxT_lux
-        + PxT_lux.transpose(0, 2, 1)
-        + jnp.einsum("kui,kuv,kvx->kix", Px, lq.luu, Px)
+        + jnp.swapaxes(PxT_lux, -1, -2)
+        + jnp.einsum("...ui,...uv,...vx->...ix", Px, lq.luu, Px)
     )
-    luu_bar = jnp.einsum("kui,kuv,kvj->kij", Pu, lq.luu, Pu) + reg
-    lux_bar = jnp.einsum("kui,kux->kix", Pu, lq.lux) + jnp.einsum(
-        "kui,kuv,kvx->kix", Pu, lq.luu, Px
+    luu_bar = jnp.einsum("...ui,...uv,...vj->...ij", Pu, lq.luu, Pu) + reg
+    lux_bar = jnp.einsum("...ui,...ux->...ix", Pu, lq.lux) + jnp.einsum(
+        "...ui,...uv,...vx->...ix", Pu, lq.luu, Px
     )
 
     return ProjectedLq(
@@ -414,3 +423,88 @@ def project_ocp(lq: LqProblem, stage: StageData, U, shift=1e-5,
         lx_f=lq.lx_f, lxx_f=lq.lxx_f,
         p=p, Pu=Pu, Px=Px,
     )
+
+
+def project_ocp_batched(lq: LqProblem, flags, U, shift=1e-5,
+                        grasp=None, backend: str = "xla") -> ProjectedLq:
+    """Batch-major Cholesky-projector projection over (B, N, ...) LQ data.
+
+    Same math as projection.project_node_chol (+_ft), restructured so the
+    single SPD solve runs as ONE batched (B*N, 12, 49) call — dispatched to
+    the lanes-last Pallas kernel on TPU (backend="pallas"), where XLA's
+    batched Cholesky is the measured hot spot (tools/microbench_ops.py).
+
+    flags (B,N,4); U (B,N,nu); grasp (B,N) for the force-tracking problem.
+    """
+    from ..ops.pallas_chol import spd_solve
+
+    dtype = lq.g0.dtype
+    B, N = flags.shape[0], flags.shape[1]
+    nu = U.shape[-1]
+    active = cons.velocity_row_mask(flags)                       # (B,N,12)
+    eye12 = jnp.eye(NC_ROWS, dtype=dtype)
+    # M = Gv Gv^T + diag(1 - active): the diagonal built by broadcast, not
+    # scatter
+    M = lq.Gv @ jnp.swapaxes(lq.Gv, -1, -2) + (1.0 - active)[..., :, None] * eye12
+
+    rhs = jnp.concatenate([lq.g0[..., None], lq.Gx, lq.Gv], axis=-1)  # (B,N,12,49)
+    if backend == "pallas":
+        W = spd_solve(M.reshape(B * N, NC_ROWS, NC_ROWS),
+                      rhs.reshape(B * N, NC_ROWS, -1))
+        W = W.reshape(B, N, NC_ROWS, -1)
+    else:
+        def one(m, r):
+            chol = jax.scipy.linalg.cho_factor(m)
+            return jax.scipy.linalg.cho_solve(chol, r)
+
+        W = jax.vmap(jax.vmap(one))(M, rhs)
+
+    Minv_g0 = W[..., 0]                                          # (B,N,12)
+    Minv_Gx = W[..., 1:1 + NX]                                   # (B,N,12,30)
+    pinvT = W[..., 1 + NX:]                                      # (B,N,12,18) = M^-1 Gv
+
+    GvT = jnp.swapaxes(lq.Gv, -1, -2)                            # (B,N,18,12)
+    du_part = -jnp.einsum("...ia,...i->...a", lq.Gv, Minv_g0)    # (B,N,18)
+    Px_v = -jnp.einsum("...ia,...ix->...ax", lq.Gv, Minv_Gx)     # (B,N,18,30)
+    P = jnp.eye(NV_JOINTS, dtype=dtype) - GvT @ pinvT            # (B,N,18,18)
+
+    force_mask = jnp.repeat(flags, 3, axis=-1)                   # (B,N,12)
+    F_bar = U[..., 0:12]
+    p_F = -(1.0 - force_mask) * F_bar
+
+    zeros_bn = lambda r, c: jnp.zeros((B, N, r, c), dtype=dtype)
+    eye = lambda n: jnp.eye(n, dtype=dtype)
+    diag_fm = force_mask[..., :, None] * eye(12)                 # (B,N,12,12)
+
+    if nu == 36:
+        g = grasp[..., None]                                     # (B,N,1)
+        W_bar = U[..., 30:36]
+        p = jnp.concatenate([p_F, du_part, -(1.0 - g) * W_bar], axis=-1)
+        diag_g = g[..., None] * eye(6)
+        Pu = jnp.concatenate([
+            jnp.concatenate([diag_fm, zeros_bn(12, 18), zeros_bn(12, 6)], -1),
+            jnp.concatenate([zeros_bn(18, 12), P, zeros_bn(18, 6)], -1),
+            jnp.concatenate([zeros_bn(6, 12), zeros_bn(6, 18), diag_g], -1),
+        ], axis=-2)
+        Px = jnp.concatenate([zeros_bn(12, NX), Px_v, zeros_bn(6, NX)], axis=-2)
+        reg = jnp.concatenate([
+            jnp.concatenate([(1.0 - force_mask)[..., :, None] * eye(12),
+                             zeros_bn(12, 18), zeros_bn(12, 6)], -1),
+            jnp.concatenate([zeros_bn(18, 12), eye(18) - P, zeros_bn(18, 6)], -1),
+            jnp.concatenate([zeros_bn(6, 12), zeros_bn(6, 18),
+                             (1.0 - g[..., None]) * eye(6)], -1),
+        ], axis=-2) + shift * eye(36)
+    else:
+        p = jnp.concatenate([p_F, du_part], axis=-1)
+        Pu = jnp.concatenate([
+            jnp.concatenate([diag_fm, zeros_bn(12, 18)], -1),
+            jnp.concatenate([zeros_bn(18, 12), P], -1),
+        ], axis=-2)
+        Px = jnp.concatenate([zeros_bn(12, NX), Px_v], axis=-2)
+        reg = jnp.concatenate([
+            jnp.concatenate([(1.0 - force_mask)[..., :, None] * eye(12),
+                             zeros_bn(12, 18)], -1),
+            jnp.concatenate([zeros_bn(18, 12), eye(18) - P], -1),
+        ], axis=-2) + shift * eye(nu)
+
+    return _apply_projection(lq, p, Pu, Px, reg)

@@ -104,6 +104,19 @@ def main():
 
     chain_time("batched cho_factor+cho_solve (B,30,31)", cho, A0)
 
+    from qm_door_tpu.ops.pallas_chol import spd_solve
+
+    def cho_pallas(c):
+        Q = c + jnp.swapaxes(c, -1, -2) + 3.0 * jnp.eye(n, dtype=dtype)
+        X = spd_solve(Q, Y0)
+        return 0.45 * c + 0.05 * X[..., :n]
+
+    chain_time("pallas spd_solve (B,30,31)", cho_pallas, A0)
+
+    # trivial body: isolates the per-iteration loop overhead on this platform
+    chain_time("trivial loop body (baseline overhead)",
+               lambda c: 0.5 * c + 0.1, A0)
+
     def lu_solve(c):
         Q = c + jnp.swapaxes(c, -1, -2) + 3.0 * jnp.eye(n, dtype=dtype)
         X = jnp.linalg.solve(Q, Y0)

@@ -78,6 +78,21 @@ def main():
     timed("riccati scan+fwd", ric_scan, plq, dx0)
     timed("evaluate (1 alpha)", ev, X, U)
 
+    # --- batch-major variants (the production path) ------------------------
+    from qm_door_tpu.ocp import constraints as cons  # noqa: F401
+    from qm_door_tpu.solver.transcription import project_ocp_batched
+    from qm_door_tpu.solver.riccati import lqr_solve_batched
+
+    flags = jnp.broadcast_to(stage.contact_flags[:N], (b, N, 4))
+    for be in ("xla", "pallas"):
+        pj = jax.jit(lambda lq, U, be=be: project_ocp_batched(
+            lq, flags, U, backend=be))
+        plq_bm = timed(f"project bm[{be}]", pj, lq, U)
+        for unroll in (1, 8, 16):
+            rs = jax.jit(lambda plq, dx0, be=be, u=unroll: lqr_solve_batched(
+                plq, dx0, backend=be, unroll=u))
+            timed(f"riccati bm[{be},u{unroll}]", rs, plq_bm, dx0)
+
 
 if __name__ == "__main__":
     main()
