@@ -31,7 +31,7 @@ def main():
     b = int(os.environ.get("QM_BENCH_BATCH", "512"))
     reps = int(os.environ.get("QM_BENCH_REPS", "20"))
 
-    from qm_door_tpu.config import default_config
+    from qm_door_tpu.config import default_config, quad_only_config
     from qm_door_tpu.models import aliengo_z1, kinematics, spatial
     from qm_door_tpu.ocp.gait import GAIT_LIBRARY, GaitSchedule
     from qm_door_tpu.ocp.problem import build_stage_data, make_ocp_config
@@ -41,7 +41,9 @@ def main():
 
     dtype = jnp.float32
     model = aliengo_z1(dtype=dtype)
-    cfg = default_config()
+    # QM_BENCH_QUAD_ONLY=1: BASELINE config #1 (arm welded) bench row
+    quad_only = os.environ.get("QM_BENCH_QUAD_ONLY", "0") == "1"
+    cfg = quad_only_config() if quad_only else default_config()
     # 0 = linearize all 67 nodes at once: the 24-tangent + elementwise
     # small-matmul pipeline fits HBM unchunked now, and lax.map chunking
     # (serialized fused mega-kernels) measured 4x slower after the rewrite
@@ -49,7 +51,7 @@ def main():
     # Linesearch candidate count (semantics knob — 4 matches OCS2's grid;
     # 1 bounds the early-exit ceiling for perf triage).
     cfg.sqp.linesearch_steps = int(os.environ.get("QM_BENCH_LS", "4"))
-    cfg.sqp.riccati_unroll = int(os.environ.get("QM_BENCH_UNROLL", "8"))
+    cfg.sqp.riccati_unroll = int(os.environ.get("QM_BENCH_UNROLL", "1"))
     backend = os.environ.get("QM_BENCH_BACKEND", "auto")
     ocp = make_ocp_config(model, cfg, dtype=dtype)
     solver = SqpSolver(model, ocp, cfg)
@@ -105,6 +107,7 @@ def main():
         "per_solve_us": round(1e6 * elapsed / (b * reps), 2),
         "compile_s": round(compile_s, 1),
         "backend": mpc.backend,
+        "config": "quad_only" if quad_only else "combined",
         "mean_violation": viol,
         "device": str(jax.devices()[0]),
     }

@@ -48,9 +48,11 @@ class SqpSettings:
     # >0: linearize nodes in chunks of this size (bounds jacfwd workspace
     # memory for large scenario batches); 0 = all nodes at once
     lin_chunk: int = 0
-    # unroll factor of the batch-major Riccati scans (riccati.py): trades
-    # compile time for the measured ~0.4 ms/iteration dispatch overhead
-    riccati_unroll: int = 8
+    # unroll factor of the batch-major Riccati scans (riccati.py). In-graph
+    # the scan carries no per-iteration dispatch cost (that ~0.4 ms shows up
+    # only for host-dispatched loops); unroll=1 measured fastest end-to-end
+    # (567 vs 557 solves/s at batch 512) and compiles quickest.
+    riccati_unroll: int = 1
 
 
 @dataclass
@@ -121,6 +123,12 @@ class JointLimitSettings:
 class ModelSettings:
     position_error_gain: float = 0.0
     phase_transition_stance_time: float = 0.1
+    # Quadruped-only variant (BASELINE config #1; reference
+    # ModelSettings.h:147-153 leg-only joint set): the arm is WELDED at its
+    # default pose — arm velocity inputs pinned to zero through the equality
+    # projection, EE tracking cost off, WBC holds the arm with the joint-PD
+    # task. A mask, not a shape change (fixed-shape mode-switching rule).
+    arm_locked: bool = False
 
 
 @dataclass
@@ -217,3 +225,18 @@ class QmConfig:
 
 def default_config() -> QmConfig:
     return QmConfig()
+
+
+def quad_only_config() -> QmConfig:
+    """AlienGo quadruped-only preset (BASELINE config #1): arm welded at the
+    default pose, EE pose tracking off, WBC arm-joint hold task permanent."""
+    cfg = QmConfig()
+    cfg.model.arm_locked = True
+    cfg.cost.ee_mu_position = 0.0
+    cfg.cost.ee_mu_orientation = 0.0
+    cfg.cost.final_ee_mu_position = 0.0
+    cfg.cost.final_ee_mu_orientation = 0.0
+    # HierarchicalWbc's t<10s init stack already IS the arm-hold stack
+    # (arm joint PD replaces the EE tasks); keep it forever.
+    cfg.wbc.arm_init_time = float("inf")
+    return cfg

@@ -55,6 +55,11 @@ class OcpConfig:
     wrench_upper: jnp.ndarray = None
     wrench_mu: float = struct.field(pytree_node=False, default=0.1)
     wrench_delta: float = struct.field(pytree_node=False, default=1e-3)
+    # quad-only variant (BASELINE config #1): arm velocity inputs pinned to
+    # zero in the projection, EE tracking cost off (reference
+    # ModelSettings.h:147-153 leg-only joint set, realized as a mask — the
+    # framework's fixed-shape mode-switching rule)
+    arm_locked: bool = struct.field(pytree_node=False, default=False)
 
 
 def make_ocp_config(model: RobotModel, cfg, dtype=jnp.float64) -> OcpConfig:
@@ -97,6 +102,7 @@ def make_ocp_config(model: RobotModel, cfg, dtype=jnp.float64) -> OcpConfig:
         arm_pos_upper=jnp.asarray(model.pos_upper[12:18], dtype=dtype),
         arm_vel_lower=jnp.asarray(jl.arm_velocity_lower, dtype=dtype),
         arm_vel_upper=jnp.asarray(jl.arm_velocity_upper, dtype=dtype),
+        arm_locked=getattr(cfg.model, "arm_locked", False),
     )
 
 
@@ -130,6 +136,7 @@ def build_stage_data(
     horizon: Optional[float] = None,
     dt: Optional[float] = None,
     dtype=jnp.float64,
+    phase_heights=None,
 ) -> StageData:
     """Compile gait + targets into the solver's per-node arrays.
 
@@ -149,7 +156,9 @@ def build_stage_data(
         touchdown_after_horizon=sw.touchdown_after_horizon,
         swing_time_scale=sw.swing_time_scale,
     )
-    z_pos, z_vel = compile_swing_references(schedule, timeline.times, swing_cfg)
+    z_pos, z_vel = compile_swing_references(
+        schedule, timeline.times, swing_cfg, phase_heights=phase_heights
+    )
 
     times = jnp.asarray(timeline.times, dtype=dtype)
     flags = jnp.asarray(timeline.contact_flags, dtype=dtype)

@@ -99,7 +99,7 @@ def batched_sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData,
                 grasp = jnp.broadcast_to(grasp, (B, N))
         plq = project_ocp_batched(
             lq, flags, U, shift=settings.hessian_shift, grasp=grasp,
-            backend=sub)
+            backend=sub, arm_locked=ocp.arm_locked)
         dX, dU, _, _ = lqr_solve_batched(
             plq, dx0, backend=sub,
             unroll=getattr(settings, "riccati_unroll", 8))
@@ -124,7 +124,8 @@ def batched_sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData,
                 contact_flags=flags_k, grasp_flags=grasp_k)
             plq = project_ocp(lq_k, stage_k, U_k,
                               shift=settings.hessian_shift,
-                              method=settings.projection)
+                              method=settings.projection,
+                              arm_locked=ocp.arm_locked)
             dXk, dUk, _, _ = lqr_solve(plq, dx0_k)
             return dXk, dUk
 
@@ -141,6 +142,8 @@ def batched_sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData,
             g = jnp.broadcast_to(g, (B, N))
         zero_force_sse = zero_force_sse + jnp.sum(
             ((1.0 - g[..., None]) * U[:, :, 30:36]) ** 2, axis=(1, 2))
+    if ocp.arm_locked:  # quad-only: arm velocity inputs pinned to zero
+        zero_force_sse = zero_force_sse + jnp.sum(U[:, :, 24:30] ** 2, axis=(1, 2))
     viol0 = (jnp.sum(lq.d * lq.d, axis=(1, 2))
              + jnp.sum(lq.g0 * lq.g0, axis=(1, 2)) + zero_force_sse)
 

@@ -27,18 +27,38 @@ NU = 30
 NU_RED_PROJ = 30
 
 
-def project_node_chol(flags, F_bar, g0, Gx, Gv, shift):
-    """du = p + Pu u_red + Px dx with u_red in R^30. Returns (p, Pu, Px, reg)."""
+def project_node_chol(flags, F_bar, g0, Gx, Gv, shift, v_arm=None,
+                      arm_locked: bool = False):
+    """du = p + Pu u_red + Px dx with u_red in R^30. Returns (p, Pu, Px, reg).
+
+    ``arm_locked`` (static): the quadruped-only variant (BASELINE config #1,
+    reference ModelSettings.h:147-153 leg-only joint set) as an input-space
+    equality u_arm = 0 — the arm-velocity delta is pinned to -v_arm (``v_arm``
+    = current arm joint velocities u_bar[24:30]), the velocity constraint is
+    re-solved over the 12 leg columns only, and the arm's reduced dims are
+    identity-regularized. Fixed shapes throughout (a mask, not a shape
+    change — the framework's mode-switching rule)."""
     dtype = g0.dtype
     active = cons.velocity_row_mask(flags)                  # (12,)
-    M = Gv @ Gv.T + jnp.diag(1.0 - active)
+    if arm_locked:
+        col_mask = jnp.concatenate(
+            [jnp.ones(12, dtype=dtype), jnp.zeros(6, dtype=dtype)])
+        Gv_f = Gv * col_mask[None, :]
+        p_lock = jnp.concatenate([jnp.zeros(12, dtype=dtype), -v_arm])
+        g0_eff = g0 + Gv @ p_lock
+    else:
+        col_mask = jnp.ones(18, dtype=dtype)
+        Gv_f = Gv
+        p_lock = jnp.zeros(18, dtype=dtype)
+        g0_eff = g0
+    M = Gv_f @ Gv_f.T + jnp.diag(1.0 - active)
     chol = jax.scipy.linalg.cho_factor(M)
-    pinvT = jax.scipy.linalg.cho_solve(chol, Gv)            # (12,18) = M^-1 Gv
-    GvPinv = pinvT.T                                        # (18,12) = Gv^+
+    pinvT = jax.scipy.linalg.cho_solve(chol, Gv_f)          # (12,18) = M^-1 Gv_f
+    GvPinv = pinvT.T                                        # (18,12) = Gv_f^+
 
-    du_part = -GvPinv @ g0                                  # (18,)
+    du_part = p_lock - GvPinv @ g0_eff                      # (18,)
     Px_v = -GvPinv @ Gx                                     # (18,30)
-    P = jnp.eye(18, dtype=dtype) - GvPinv @ Gv              # (18,18) projector
+    P = jnp.diag(col_mask) - GvPinv @ Gv_f                  # (18,18) projector
 
     force_mask = jnp.repeat(flags, 3)                       # (12,) 1 = stance
     p = jnp.concatenate([-(1.0 - force_mask) * F_bar, du_part])

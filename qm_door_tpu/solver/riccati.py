@@ -82,15 +82,16 @@ def lqr_solve(lq: ProjectedLq, dx0):
 # Batch-major sweeps (production batched path)
 # ---------------------------------------------------------------------------
 #
-# vmapping the per-scenario sweep leaves two pathologies on TPU (measured,
-# tools/microbench_ops.py on a v5e at batch 256):
-#   1. XLA's batched cho_factor+cho_solve costs ~840 us marginal per scan
-#      step — 40x the batched matmuls it sits between. The lanes-last Pallas
-#      kernel (ops/pallas_chol.spd_solve) does the same solve in ~0 marginal.
-#   2. each while-loop iteration carries ~420 us of fixed overhead on this
-#      platform; ``unroll`` trades compile time for removing it.
-# The batch-major formulation also lets the Pallas kernel (which has no
-# batching rule) sit inside the scan directly.
+# vmapping the per-scenario sweep leaves XLA's batched cho_factor+cho_solve
+# on the critical path: ~840 us marginal per scan step at (256,30,31) — 40x
+# the batched matmuls it sits between — while the lanes-last Pallas kernel
+# (ops/pallas_chol.spd_solve) does the same solve at ~0 marginal
+# (tools/microbench_ops.py, v5e). The batch-major formulation lets that
+# kernel (which has no batching rule) sit inside the scan directly:
+# riccati backward+forward measured 288 -> 69 us/solve at batch 512.
+# ``unroll`` trades compile time for per-iteration overhead; that overhead is
+# a host-dispatch artifact only — in-graph, unroll=1 is fastest (69 vs 134
+# us/solve at unroll=8, tools/profile_solve.py) and compiles quickest.
 
 def _gain_solve(Quu, rhs, backend: str):
     if backend == "pallas":
@@ -106,7 +107,7 @@ def _gain_solve(Quu, rhs, backend: str):
 
 
 def riccati_backward_batched(lq: ProjectedLq, backend: str = "xla",
-                             unroll: int = 8):
+                             unroll: int = 1):
     """Backward sweep over (B, N, ...) LQ data. Returns K (B,N,nu,nx),
     kff (B,N,nu)."""
     nx = lq.A.shape[-1]
@@ -144,7 +145,7 @@ def riccati_backward_batched(lq: ProjectedLq, backend: str = "xla",
     return jnp.swapaxes(K, 0, 1), jnp.swapaxes(kff, 0, 1)
 
 
-def riccati_forward_batched(lq: ProjectedLq, K, kff, dx0, unroll: int = 8):
+def riccati_forward_batched(lq: ProjectedLq, K, kff, dx0, unroll: int = 1):
     """Forward rollout over (B, N, ...). Returns (dX (B,N+1,nx), dU (B,N,nu_full))."""
 
     def step(dx, inp):
@@ -164,7 +165,7 @@ def riccati_forward_batched(lq: ProjectedLq, K, kff, dx0, unroll: int = 8):
 
 
 def lqr_solve_batched(lq: ProjectedLq, dx0, backend: str = "xla",
-                      unroll: int = 8):
+                      unroll: int = 1):
     """Batch-major backward + forward. lq leaves carry (B, N, ...); dx0 (B, nx)."""
     K, kff = riccati_backward_batched(lq, backend=backend, unroll=unroll)
     dX, dU = riccati_forward_batched(lq, K, kff, dx0, unroll=unroll)

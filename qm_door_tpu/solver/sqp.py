@@ -68,6 +68,8 @@ def evaluate_trajectory(model: RobotModel, ocp: OcpConfig, stage: StageData, dt,
         if u.shape[-1] == 36:  # force-tracking: zero wrench off-grasp
             zero_wrench = (1.0 - stage.grasp_flags[k]) * u[30:36]
             sse = sse + jnp.sum(zero_wrench * zero_wrench)
+        if ocp.arm_locked:  # quad-only: arm velocity inputs pinned to zero
+            sse = sse + jnp.sum(u[24:30] * u[24:30])
         return sse
 
     eq_sse = jnp.sum(jax.vmap(node_eq)(ks, X[:-1], U))
@@ -127,7 +129,8 @@ def sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, setti
         model, ocp, stage, dt, X, U, node_chunk=getattr(settings, "lin_chunk", 0)
     )
     plq = project_ocp(
-        lq, stage, U, shift=settings.hessian_shift, method=settings.projection
+        lq, stage, U, shift=settings.hessian_shift, method=settings.projection,
+        arm_locked=ocp.arm_locked,
     )
     dx0 = x_init - X[0]
     if settings.riccati == "parallel":
@@ -147,6 +150,8 @@ def sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, setti
     if U.shape[-1] == 36:  # force-tracking: zero wrench off-grasp
         off = 1.0 - stage.grasp_flags[: U.shape[0], None]
         zero_force_sse = zero_force_sse + jnp.sum((off * U[:, 30:36]) ** 2)
+    if ocp.arm_locked:  # quad-only: arm velocity inputs pinned to zero
+        zero_force_sse = zero_force_sse + jnp.sum(U[:, 24:30] ** 2)
     viol0 = jnp.sum(lq.d * lq.d) + jnp.sum(lq.g0 * lq.g0) + zero_force_sse
     alpha, cost_new, viol_new = _linesearch(
         model, ocp, stage, dt, X, U, dX, dU, cost0, viol0, settings
@@ -178,7 +183,7 @@ class _SqpSettingsStatic(NamedTuple):
     riccati: str = "scan"
     linesearch_steps: int = 4
     lin_chunk: int = 0
-    riccati_unroll: int = 8  # batch-major sweeps only (riccati.py)
+    riccati_unroll: int = 1  # batch-major sweeps only (riccati.py)
 
 
 def _settings_static(cfg_sqp) -> "_SqpSettingsStatic":

@@ -359,12 +359,13 @@ def _project_node(flags, F_bar, g0, Gx, Gv, shift):
 
 
 def project_ocp(lq: LqProblem, stage: StageData, U, shift=1e-5,
-                method: str = "chol") -> ProjectedLq:
+                method: str = "chol", arm_locked: bool = False) -> ProjectedLq:
     """Apply force elimination + velocity-constraint projection to the LQ data.
 
     method: "chol" (Cholesky projector, TPU fast path, reduced dim 30) or
     "qr" (orthonormal padded basis, reduced dim 26). Both are exact; see
-    tests/test_solver.py for the equivalence check.
+    tests/test_solver.py for the equivalence check. ``arm_locked`` (quad-only
+    variant) is supported on the chol path only.
     """
     from .projection import project_node_chol, project_node_chol_ft
 
@@ -376,6 +377,15 @@ def project_ocp(lq: LqProblem, stage: StageData, U, shift=1e-5,
         p, Pu, Px, reg = jax.vmap(partial(project_node_chol_ft, shift=shift))(
             stage.contact_flags[:N], stage.grasp_flags[:N], F_bar,
             U[:, 30:36], lq.g0, lq.Gx, lq.Gv
+        )
+    elif arm_locked:
+        if method != "chol":
+            raise ValueError("arm_locked requires the chol projection")
+        p, Pu, Px, reg = jax.vmap(
+            partial(project_node_chol, shift=shift, arm_locked=True)
+        )(
+            stage.contact_flags[:N], F_bar, lq.g0, lq.Gx, lq.Gv,
+            v_arm=U[:, 24:30],
         )
     else:
         node_fn = project_node_chol if method == "chol" else _project_node
@@ -426,7 +436,8 @@ def _apply_projection(lq: LqProblem, p, Pu, Px, reg) -> ProjectedLq:
 
 
 def project_ocp_batched(lq: LqProblem, flags, U, shift=1e-5,
-                        grasp=None, backend: str = "xla") -> ProjectedLq:
+                        grasp=None, backend: str = "xla",
+                        arm_locked: bool = False) -> ProjectedLq:
     """Batch-major Cholesky-projector projection over (B, N, ...) LQ data.
 
     Same math as projection.project_node_chol (+_ft), restructured so the
@@ -435,6 +446,8 @@ def project_ocp_batched(lq: LqProblem, flags, U, shift=1e-5,
     batched Cholesky is the measured hot spot (tools/microbench_ops.py).
 
     flags (B,N,4); U (B,N,nu); grasp (B,N) for the force-tracking problem.
+    ``arm_locked`` (static, nu=30 only): quad-only variant — pins the
+    arm-velocity inputs to zero (see projection.project_node_chol).
     """
     from ..ops.pallas_chol import spd_solve
 
@@ -443,11 +456,25 @@ def project_ocp_batched(lq: LqProblem, flags, U, shift=1e-5,
     nu = U.shape[-1]
     active = cons.velocity_row_mask(flags)                       # (B,N,12)
     eye12 = jnp.eye(NC_ROWS, dtype=dtype)
+    if arm_locked:
+        if nu != 30:
+            raise ValueError("arm_locked requires the 30-input problem")
+        col_mask = jnp.concatenate(
+            [jnp.ones(12, dtype=dtype), jnp.zeros(6, dtype=dtype)])
+        Gv_f = lq.Gv * col_mask
+        p_lock_v = jnp.concatenate(
+            [jnp.zeros((B, N, 12), dtype=dtype), -U[..., 24:30]], axis=-1)
+        g0_eff = lq.g0 + jnp.einsum("...ia,...a->...i", lq.Gv, p_lock_v)
+    else:
+        col_mask = jnp.ones(NV_JOINTS, dtype=dtype)
+        Gv_f = lq.Gv
+        p_lock_v = jnp.zeros((B, N, NV_JOINTS), dtype=dtype)
+        g0_eff = lq.g0
     # M = Gv Gv^T + diag(1 - active): the diagonal built by broadcast, not
     # scatter
-    M = lq.Gv @ jnp.swapaxes(lq.Gv, -1, -2) + (1.0 - active)[..., :, None] * eye12
+    M = Gv_f @ jnp.swapaxes(Gv_f, -1, -2) + (1.0 - active)[..., :, None] * eye12
 
-    rhs = jnp.concatenate([lq.g0[..., None], lq.Gx, lq.Gv], axis=-1)  # (B,N,12,49)
+    rhs = jnp.concatenate([g0_eff[..., None], lq.Gx, Gv_f], axis=-1)  # (B,N,12,49)
     if backend == "pallas":
         W = spd_solve(M.reshape(B * N, NC_ROWS, NC_ROWS),
                       rhs.reshape(B * N, NC_ROWS, -1))
@@ -461,12 +488,12 @@ def project_ocp_batched(lq: LqProblem, flags, U, shift=1e-5,
 
     Minv_g0 = W[..., 0]                                          # (B,N,12)
     Minv_Gx = W[..., 1:1 + NX]                                   # (B,N,12,30)
-    pinvT = W[..., 1 + NX:]                                      # (B,N,12,18) = M^-1 Gv
+    pinvT = W[..., 1 + NX:]                                      # (B,N,12,18) = M^-1 Gv_f
 
-    GvT = jnp.swapaxes(lq.Gv, -1, -2)                            # (B,N,18,12)
-    du_part = -jnp.einsum("...ia,...i->...a", lq.Gv, Minv_g0)    # (B,N,18)
-    Px_v = -jnp.einsum("...ia,...ix->...ax", lq.Gv, Minv_Gx)     # (B,N,18,30)
-    P = jnp.eye(NV_JOINTS, dtype=dtype) - GvT @ pinvT            # (B,N,18,18)
+    GvT = jnp.swapaxes(Gv_f, -1, -2)                             # (B,N,18,12)
+    du_part = p_lock_v - jnp.einsum("...ia,...i->...a", Gv_f, Minv_g0)  # (B,N,18)
+    Px_v = -jnp.einsum("...ia,...ix->...ax", Gv_f, Minv_Gx)      # (B,N,18,30)
+    P = col_mask[:, None] * jnp.eye(NV_JOINTS, dtype=dtype) - GvT @ pinvT  # (B,N,18,18)
 
     force_mask = jnp.repeat(flags, 3, axis=-1)                   # (B,N,12)
     F_bar = U[..., 0:12]
