@@ -197,27 +197,30 @@ class KalmanFilterEstimate:
         )
 
     def reset(self, q0):
-        self._state = kf_init(self.model, q0, self.params)
-        self._zyx_offset = None
-        self._R_shift = None
+        # EVERY estimated quantity lives in the yaw-shifted world frame (the
+        # IMU-path first-sample offset removal of StateEstimateBase.cpp:46-68
+        # applied consistently): the shift is fixed here from q0's yaw, and
+        # the initial base/foot positions are rotated into that frame along
+        # with every world-frame input in update(). Mixing frames (shifted
+        # zyx with world-frame init) measurably corrupts the transient
+        # (tests/test_estimation.py::test_kf_yaw_equivariance).
+        yaw0 = float(q0[3])
+        self._zyx_offset = jnp.array([yaw0, 0.0, 0.0], dtype=q0.dtype)
+        self._R_shift = spatial.zyx_to_rot(
+            jnp.array([-yaw0, 0.0, 0.0], dtype=q0.dtype)
+        )
+        q0_shift = jnp.concatenate([
+            spatial.fmv(self._R_shift, q0[0:3]),
+            q0[3:6] - self._zyx_offset,
+            q0[6:],
+        ])
+        self._state = kf_init(self.model, q0_shift, self.params)
 
     def update(self, zyx, omega_world, acc_body, qj, vj, contact_flags, dt,
                terrain_height=0.0):
         if self._state is None:
             q0 = jnp.concatenate([jnp.zeros(3, dtype=zyx.dtype), zyx, qj])
             self.reset(q0)
-        if self._zyx_offset is None:
-            self._zyx_offset = jnp.array(
-                [float(zyx[0]), 0.0, 0.0], dtype=zyx.dtype
-            )
-            # Every estimated quantity lives in the yaw-shifted world frame
-            # (the IMU-path first-sample offset removal of
-            # StateEstimateBase.cpp:46-68); world-frame inputs must be
-            # rotated into it, or kf_step would cross a true-world omega
-            # with yaw-shifted foot positions.
-            self._R_shift = spatial.zyx_to_rot(
-                jnp.array([-float(zyx[0]), 0.0, 0.0], dtype=zyx.dtype)
-            )
         zyx = zyx - self._zyx_offset
         omega_world = spatial.fmv(self._R_shift, omega_world)
         self._state, rbd = self._step(

@@ -51,11 +51,13 @@ def _hermite(t, t0, t1, p0, v0, p1, v1):
     return p, v
 
 
-def _swing_ref(t, t0, t1, cfg: SwingConfig):
-    """Position/velocity reference inside one swing phase."""
+def _swing_ref(t, t0, t1, cfg: SwingConfig, h0, h1):
+    """Position/velocity reference inside one swing phase with per-phase
+    liftoff height h0 and touchdown height h1 (the reference's
+    SwingTrajectoryPlanner carries exactly these two per-phase heights,
+    task.info:24-31)."""
     duration = t1 - t0
     s = min(1.0, duration / cfg.swing_time_scale) if cfg.swing_time_scale > 0 else 1.0
-    h0 = h1 = cfg.terrain_height
     apex = max(h0, h1) + cfg.swing_height * s
     tm = 0.5 * (t0 + t1)
     if t <= tm:
@@ -63,8 +65,16 @@ def _swing_ref(t, t0, t1, cfg: SwingConfig):
     return _hermite(t, tm, t1, apex, 0.0, h1, cfg.touch_down_velocity * s)
 
 
-def compile_swing_references(schedule: GaitSchedule, times, cfg: SwingConfig):
-    """Per-node (z_pos_ref, z_vel_ref), each (N+1, 4)."""
+def compile_swing_references(schedule: GaitSchedule, times, cfg: SwingConfig,
+                             phase_heights=None):
+    """Per-node (z_pos_ref, z_vel_ref), each (N+1, 4).
+
+    ``phase_heights``: optional callable ``(foot, t_liftoff, t_touchdown) ->
+    (h0, h1)`` supplying TERRAIN-AWARE liftoff/touchdown heights for each
+    swing phase (the ocs2 SwingTrajectoryPlanner per-phase liftOff/touchDown
+    sequence). Default: flat ground at ``cfg.terrain_height``. Stance nodes
+    hold the relevant phase height.
+    """
     times = np.asarray(times)
     horizon_end = times[-1] + cfg.touchdown_after_horizon
     n = len(times)
@@ -73,13 +83,21 @@ def compile_swing_references(schedule: GaitSchedule, times, cfg: SwingConfig):
     for foot in range(4):
         phases = schedule.contact_phases(foot, times[0], horizon_end)
         for (t0, t1, in_contact) in phases:
-            if in_contact:
-                continue
             lo = t0 if np.isfinite(t0) else times[0] - 1.0
             hi = t1 if np.isfinite(t1) else horizon_end + cfg.touchdown_after_horizon
             mask = (times >= lo - 1e-9) & (times <= hi + 1e-9)
+            if in_contact:
+                if phase_heights is not None:
+                    # stance: hold the terrain height under the stance foot
+                    h0, _ = phase_heights(foot, lo, hi)
+                    z_pos[mask, foot] = h0
+                continue
+            if phase_heights is not None:
+                h0, h1 = phase_heights(foot, lo, hi)
+            else:
+                h0 = h1 = cfg.terrain_height
             for i in np.nonzero(mask)[0]:
-                p, v = _swing_ref(times[i], lo, hi, cfg)
+                p, v = _swing_ref(times[i], lo, hi, cfg, h0, h1)
                 z_pos[i, foot] = p
                 z_vel[i, foot] = v
     return z_pos, z_vel

@@ -26,6 +26,7 @@ from ..runtime.controller import QmController
 from ..runtime.mrt import PolicyStore
 from ..solver.sqp import SqpSolver
 from ..wbc.wbc import WbcState
+from . import terrain
 from .sim import SimConfig, measured_rbd, sim_init, sim_step
 
 
@@ -70,6 +71,32 @@ class ClosedLoopRunner:
         self.mpc_decimation = mpc_decimation
         self.estimator = estimator
 
+    def _phase_heights(self, targets, feet_xy, t_now):
+        """Terrain-aware per-phase swing heights for the SwingTrajectoryPlanner
+        role (ocs2 per-foot liftOff/touchDown height sequences, task.info:24-31).
+
+        Touchdown xy is predicted by advancing each foot's current xy with
+        the commanded base velocity (finite-differenced from the target
+        trajectory); heights are the terrain height-field there. Returns
+        None on flat terrain (the default flat-ground references)."""
+        if self.sim_cfg.terrain == "flat":
+            return None
+        d0 = np.asarray(targets.desired_state(jnp.asarray(t_now)))
+        d1 = np.asarray(targets.desired_state(jnp.asarray(t_now + 0.1)))
+        v_cmd = (d1[6:8] - d0[6:8]) / 0.1
+
+        def heights(foot, t0, t1):
+            h = []
+            for te in (t0, t1):
+                xy = feet_xy[foot] + v_cmd * max(0.0, te - t_now)
+                h.append(float(terrain.terrain_height(
+                    self.sim_cfg.terrain, jnp.asarray(xy[0]),
+                    jnp.asarray(xy[1]), self.sim_cfg.terrain_params,
+                )))
+            return h[0], h[1]
+
+        return heights
+
     def run(
         self,
         targets: TargetTrajectories,
@@ -104,7 +131,17 @@ class ClosedLoopRunner:
         # initial solve (QMController::starting — spin until policy received)
         rbd = rbd_est
         x_obs = centroidal.centroidal_state_from_rbd(model, rbd)
-        stage = build_stage_data(model, cfg, self.schedule, targets, 0.0)
+        from ..models import kinematics as _kin
+
+        def stage_at(t_now):
+            feet_xy = np.asarray(
+                _kin.contact_positions(model, sim.q))[:, 0:2]
+            return build_stage_data(
+                model, cfg, self.schedule, targets, t_now,
+                phase_heights=self._phase_heights(targets, feet_xy, t_now),
+            )
+
+        stage = stage_at(0.0)
         sol = self.solver.solve(stage, x_obs)
         sol = self.solver.solve(stage, x_obs, warm=(sol.times, sol.X, sol.U))
         policy = PolicyStore(times=sol.times, X=sol.X, U=sol.U)
@@ -122,7 +159,7 @@ class ClosedLoopRunner:
             if step % self.mpc_decimation == 0 and step > 0:
                 rbd = rbd_est
                 x_obs = centroidal.centroidal_state_from_rbd(model, rbd)
-                stage = build_stage_data(model, cfg, self.schedule, targets, t)
+                stage = stage_at(t)
                 sol = self.solver.solve(
                     stage, x_obs, warm=(sol.times, sol.X, sol.U)
                 )
@@ -170,9 +207,18 @@ class ClosedLoopRunner:
                     self.schedule.contact_flags_at((step + 1) * dt),
                     dtype=x_init.dtype,
                 )
+                # per-foot terrain height at the filter's own foot estimate
+                # (the foot-height measurement row assumes z = h(x, y); a
+                # flat-ground scalar would bias the base height on
+                # stairs/slope/wave worlds)
+                pf = kf.state.xe[6:18].reshape(4, 3)
+                th = terrain.terrain_height(
+                    self.sim_cfg.terrain, pf[:, 0], pf[:, 1],
+                    self.sim_cfg.terrain_params,
+                )
                 rbd_est = kf.update(
                     zyx, omega_w, acc_body, sim.q[6:24], sim.v[6:24],
-                    kf_flags, dt,
+                    kf_flags, dt, terrain_height=th,
                 )
 
         return log

@@ -149,6 +149,65 @@ def test_kf_tracks_sim_settle(model64):
     assert max_verr < 0.15, max_verr
 
 
+def test_kf_yaw_equivariance(model64):
+    """Nonzero initial yaw: rotating the whole scenario by yaw0 must leave
+    the estimate (expressed in the filter's yaw-shifted frame) unchanged —
+    the regression test for the first-sample offset removal: zyx,
+    omega_world, and the leg-odometry cross products must all live in ONE
+    frame (StateEstimateBase.cpp:46-68 semantics)."""
+    model = model64
+    cfg = default_config()
+    x0 = jnp.asarray(cfg.initial_state(), dtype=jnp.float64)
+    q0 = centroidal.pinocchio_q(x0)
+    feet_z = float(jnp.mean(kinematics.contact_positions(model, q0)[:, 2]))
+    q0 = q0.at[2].add(-feet_z + 0.005)
+    sim_cfg = SimConfig()
+    sim = sim_init(model, q0, cfg=sim_cfg)
+    kp = jnp.full(18, 150.0, dtype=q0.dtype)
+    kd = jnp.full(18, 4.0, dtype=q0.dtype)
+    command = jnp.stack(
+        [q0[6:24], jnp.zeros(18, dtype=q0.dtype), kp, kd,
+         jnp.zeros(18, dtype=q0.dtype)]
+    )
+
+    yaw0 = 1.2
+    Rz = spatial.zyx_to_rot(jnp.array([yaw0, 0.0, 0.0], dtype=q0.dtype))
+    est_a = KalmanFilterEstimate(model, KfParams())
+    est_b = KalmanFilterEstimate(model, KfParams())
+    est_a.reset(q0)
+    q0b = q0.at[0:3].set(spatial.fmv(Rz, q0[0:3])).at[3].add(yaw0)
+    est_b.reset(q0b)
+
+    dt = sim_cfg.dt
+    v_prev = sim.v
+    flags = jnp.ones(4, dtype=q0.dtype)
+    rbd_a = rbd_b = None
+    for _ in range(120):
+        sim = sim_step(model, sim_cfg, sim, command)
+        a_w = (sim.v[0:3] - v_prev[0:3]) / dt
+        v_prev = sim.v
+        zyx, omega_w, acc_body = _imu_from_sim(model, sim.q, sim.v, a_w)
+        rbd_a = est_a.update(
+            zyx, omega_w, acc_body, sim.q[6:24], sim.v[6:24], flags, dt
+        )
+        # the same physical motion, world frame rotated by yaw0:
+        zyx_b = zyx.at[0].add(yaw0)
+        rbd_b = est_b.update(
+            zyx_b, spatial.fmv(Rz, omega_w), acc_body,
+            sim.q[6:24], sim.v[6:24], flags, dt,
+        )
+    # both filters remove their first-sample yaw -> identical shifted-frame
+    # estimates (zyx, v, omega, EE pose); positions differ by the rotated
+    # initial base position only
+    np.testing.assert_allclose(np.asarray(rbd_b[0:3]), np.asarray(rbd_a[0:3]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rbd_b[24:30]),
+                               np.asarray(rbd_a[24:30]), atol=1e-6)
+    off_a = np.asarray(rbd_a[3:6]) - np.asarray(q0[0:3])
+    off_b = np.asarray(rbd_b[3:6]) - np.asarray(q0b[0:3])
+    np.testing.assert_allclose(off_b, off_a, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_closed_loop_with_kalman_estimator(mpc_stack):
     """Full stack driven by the KF estimate instead of ground truth: the
