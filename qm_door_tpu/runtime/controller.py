@@ -91,18 +91,34 @@ def controller_tick(
     period,
     yaw_last,
     separated: bool = False,
+    force_tracking: bool = False,
+    grasp=0.0,
 ) -> TickResult:
-    """One jittable control tick (QMController::update body)."""
+    """One jittable control tick (QMController::update body).
+
+    ``force_tracking``: policy inputs are 36-dim (EE wrench appended) and the
+    WBC runs the 42-var force-aware hierarchy (wbc/force.py); ``grasp`` gates
+    the wrench-tracking task.
+    """
     x_obs = observe(model, rbd_measured, yaw_last)
     x_opt, u_opt = evaluate_policy(policy, t)
 
-    wbc_fn = hierarchical_mpc_wbc if separated else partial(
-        hierarchical_wbc, use_arm_init=t < ctrl.arm_init_time
-    )
-    wbc_cmd, wbc_state = wbc_fn(
-        model, wbc_cfg, x_opt, u_opt, rbd_measured, contact_flags, wbc_state, period
-    )
-    tau = wbc_cmd[36:54]
+    if force_tracking:
+        from ..wbc.force import hierarchical_wbc_ft
+
+        wbc_cmd, wbc_state = hierarchical_wbc_ft(
+            model, wbc_cfg, x_opt, u_opt, rbd_measured, contact_flags,
+            grasp, wbc_state, period,
+        )
+        tau = wbc_cmd[42:60]
+    else:
+        wbc_fn = hierarchical_mpc_wbc if separated else partial(
+            hierarchical_wbc, use_arm_init=t < ctrl.arm_init_time
+        )
+        wbc_cmd, wbc_state = wbc_fn(
+            model, wbc_cfg, x_opt, u_opt, rbd_measured, contact_flags, wbc_state, period
+        )
+        tau = wbc_cmd[36:54]
 
     pos_des = centroidal.joint_angles(x_opt)
     vel_des = centroidal.joint_velocities(u_opt)
@@ -141,10 +157,12 @@ class QmController:
     interpolation q_meas + v_des * dt at 100 Hz).
     """
 
-    def __init__(self, model: RobotModel, cfg, separated: bool = False):
+    def __init__(self, model: RobotModel, cfg, separated: bool = False,
+                 force_tracking: bool = False):
         self.model = model
         self.cfg = cfg
         self.separated = separated
+        self.force_tracking = force_tracking
         self.ctrl = ControllerConfig(
             leg_kp=cfg.controller.leg_kp,
             leg_kd=cfg.controller.leg_kd,
@@ -160,14 +178,17 @@ class QmController:
 
         self.gains = WbcGains.from_settings(cfg.wbc)
         self._tick = jax.jit(
-            partial(controller_tick, model, separated=separated)
+            partial(controller_tick, model, separated=separated,
+                    force_tracking=force_tracking)
         )
         self.yaw_last = 0.0
 
-    def tick(self, policy, contact_flags, rbd_measured, wbc_state, t, period):
+    def tick(self, policy, contact_flags, rbd_measured, wbc_state, t, period,
+             grasp=0.0):
         res = self._tick(
             self.gains, self.ctrl, policy, contact_flags, rbd_measured, wbc_state,
             jnp.asarray(t), jnp.asarray(period), jnp.asarray(self.yaw_last),
+            grasp=jnp.asarray(grasp),
         )
         self.yaw_last = float(res.x_obs[9])
         return res

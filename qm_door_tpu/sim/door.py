@@ -24,7 +24,11 @@ from ..models.model import RobotModel
 class DoorConfig(NamedTuple):
     hinge_pos: tuple = (0.0, 0.0)        # world (x, y) of the hinge axis
     hinge_yaw: float = 0.0               # door frame heading at angle 0
-    panel_inertia: float = 8.53          # kg m^2 about the hinge (100 kg, 0.8 m lever ~ m L^2 / 3... URDF panel 5 kg + lever arm)
+    # Tuned lumped parameter, NOT URDF-derived: door_push.urdf's inertial
+    # tags (panel 0.1 kg, lever 5 kg, frame 100 kg) are placeholder values
+    # that Gazebo's constraint solver masks; this inertia gives a realistic
+    # interior door (~25 kg slab, 0.9 m wide: m w^2 / 3 ~ 7-9 kg m^2).
+    panel_inertia: float = 8.53          # kg m^2 about the hinge
     panel_damping: float = 0.2           # door_push.urdf:66
     panel_lower: float = -2.0            # door_push.urdf:69
     panel_upper: float = 0.0
@@ -33,7 +37,10 @@ class DoorConfig(NamedTuple):
     lever_spring: float = 2.0            # returns the handle to 0
     lever_lower: float = -0.5236         # door_push.urdf:102
     lever_upper: float = 0.0
-    handle_offset: tuple = (0.8, -0.05, 1.0)  # handle point in door frame (x along panel)
+    # Handle point in the door frame (x along the panel); magnitude matches
+    # the URDF lever placement (|x| = 0.796 there, opposite sign convention
+    # since our x axis points hinge -> handle), height tuned for the robot.
+    handle_offset: tuple = (0.8, -0.05, 1.0)
     grasp_stiffness: float = 2000.0      # EE-handle coupling spring
     grasp_damping: float = 50.0
     latch_release: float = -0.4          # lever angle that frees the panel
@@ -139,18 +146,20 @@ def door_step(cfg: DoorConfig, state: DoorState, F_on_door, p_applied, dt,
 
 def coupled_step(model: RobotModel, sim_cfg, door_cfg: DoorConfig,
                  sim_state, door_state: DoorState, command_stack,
-                 latched=True):
+                 latched=True, grasp_on=1.0):
     """One physics step of robot + door with the grasp coupling active.
 
     Returns (sim_state, door_state). The grasp spring force acts on the
     robot EE (via J_ee^T) and, with opposite sign, on the door at the EE
-    application point.
+    application point. ``grasp_on`` in [0, 1] gates the coupling (0 before
+    the hand closes on the handle).
     """
     from .sim import sim_step
 
     F_on_ee, p_ee, J_ee = grasp_wrench(
         model, door_cfg, door_state, sim_state.q, sim_state.v
     )
+    F_on_ee = jnp.asarray(grasp_on, dtype=F_on_ee.dtype) * F_on_ee
     tau_extra = J_ee[:3].T @ F_on_ee
     sim_new = sim_step(
         model, sim_cfg, sim_state, command_stack, tau_gen_extra=tau_extra

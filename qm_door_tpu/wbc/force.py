@@ -1,0 +1,126 @@
+"""Force-aware hierarchical WBC: decision vars widen 36 -> 42 with the EE
+wrench (config #4; the reference's force-tracking branch extends WbcBase the
+same way — the wrench task slot mirrors the contact-force task pattern of
+qm_wbc/src/WbcBase.cpp:566-578).
+
+x (42) = [qddot (24); F_feet (12); W_ee (6)], with W_ee the external wrench
+ON the robot at the EE frame (rows of arm_J order [linear; angular]):
+
+    M qdd + h = J_c^T F + J_ee^T W + S^T tau
+
+Tasks that ignore the wrench are the 36-var formulations padded with 6 zero
+columns; the EoM / torque-limit / torque-recovery pieces gain the J_ee^T W
+terms; a wrench-tracking equality (W = W_mpc while grasping, W = 0 when not)
+joins the contact-force level of the hierarchy.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models.model import RobotModel
+from . import tasks as T
+from .hoqp import Task, solve_hierarchy
+from .wbc import WbcState
+
+N_DEC_FT = 42
+NQ = 24
+
+
+def pad_cols(t: Task) -> Task:
+    """Lift a 36-var task into the 42-var space (wrench columns zero)."""
+    dtype = t.A.dtype
+    A = jnp.concatenate([t.A, jnp.zeros((t.A.shape[0], 6), dtype=dtype)], axis=1)
+    D = jnp.concatenate([t.D, jnp.zeros((t.D.shape[0], 6), dtype=dtype)], axis=1)
+    return Task(A, t.b, D, t.f)
+
+
+def floating_base_eom_task_ft(d: T.WbcData) -> Task:
+    """[M_b, -J_c^T_b, -J_ee^T_b] x = -h_b."""
+    A = jnp.concatenate(
+        [d.M[:6, :], -d.Jc.T[:6, :], -d.arm_J.T[:6, :]], axis=1
+    )
+    b = -d.nle[:6]
+    De = jnp.zeros((0, N_DEC_FT), dtype=A.dtype)
+    return Task(A, b, De, jnp.zeros((0,), dtype=A.dtype))
+
+
+def torque_limits_task_ft(d: T.WbcData) -> Task:
+    """|M_j qdd - J_c^T_j F - J_ee^T_j W + h_j| <= tau_lim."""
+    dtype = d.M.dtype
+    row = jnp.concatenate(
+        [d.M[6:, :], -d.Jc.T[6:, :], -d.arm_J.T[6:, :]], axis=1
+    )
+    D = jnp.concatenate([row, -row], axis=0)
+    f = jnp.concatenate([d.torque_limits - d.nle[6:], d.torque_limits + d.nle[6:]])
+    return Task(jnp.zeros((0, N_DEC_FT), dtype=dtype), jnp.zeros((0,), dtype=dtype), D, f)
+
+
+def wrench_tracking_task(d: T.WbcData, grasp) -> Task:
+    """W = grasp * W_mpc (zero wrench when not grasping)."""
+    dtype = d.M.dtype
+    A = jnp.concatenate(
+        [jnp.zeros((6, 36), dtype=dtype), jnp.eye(6, dtype=dtype)], axis=1
+    )
+    b = jnp.asarray(grasp, dtype=dtype) * d.wrench_des
+    De = jnp.zeros((0, N_DEC_FT), dtype=dtype)
+    return Task(A, b, De, jnp.zeros((0,), dtype=dtype))
+
+
+def compute_torque_ft(d: T.WbcData, x_opt):
+    """tau = M_j qdd + h_j - J_c^T_j F - J_ee^T_j W."""
+    qdd = x_opt[:NQ]
+    F = x_opt[NQ:NQ + 12]
+    W = x_opt[NQ + 12:NQ + 18]
+    return (d.M[6:, :] @ qdd + d.nle[6:]
+            - d.Jc.T[6:, :] @ F - d.arm_J.T[6:, :] @ W)
+
+
+def hierarchical_wbc_ft(model: RobotModel, wbc_cfg, state_desired,
+                        input_desired, rbd_measured, contact_flags, grasp,
+                        wbc_state: WbcState, period, qp_iters=None):
+    """Force-tracking combined-system WBC tick.
+
+    input_desired (36); grasp: scalar gate for the wrench tracking.
+    Returns (cmd (60,) = [qdd; F; W; tau], new_wbc_state).
+    """
+    qp_iters = wbc_cfg.qp_iterations if qp_iters is None else qp_iters
+    data = T.build_wbc_data(
+        model, state_desired, input_desired, rbd_measured, contact_flags,
+        wbc_state.input_last, period,
+    )
+    dtype = data.M.dtype
+
+    task0 = T.concat_tasks(
+        floating_base_eom_task_ft(data),
+        torque_limits_task_ft(data),
+        pad_cols(T.no_contact_motion_task(data)),
+        pad_cols(T.friction_cone_task(data, wbc_cfg.friction_coefficient)),
+    )
+    task1 = T.concat_tasks(
+        pad_cols(T.base_height_motion_task(data, wbc_cfg.base_height_kp, wbc_cfg.base_height_kd)),
+        pad_cols(T.base_angular_motion_task(data, wbc_cfg.base_angular_kp, wbc_cfg.base_angular_kd)),
+        pad_cols(T.ee_linear_tracking_task(
+            data,
+            jnp.asarray(wbc_cfg.ee_linear_kp, dtype=dtype),
+            jnp.asarray(wbc_cfg.ee_linear_kd, dtype=dtype),
+        )),
+        pad_cols(T.ee_angular_tracking_task(
+            data,
+            jnp.asarray(wbc_cfg.ee_angular_kp, dtype=dtype),
+            jnp.asarray(wbc_cfg.ee_angular_kd, dtype=dtype),
+        )),
+        T.scale_task(
+            pad_cols(T.swing_leg_task(data, wbc_cfg.swing_kp, wbc_cfg.swing_kd)),
+            wbc_cfg.swing_task_weight,
+        ),
+    )
+    task2 = T.concat_tasks(
+        pad_cols(T.contact_force_task(data)),
+        wrench_tracking_task(data, grasp),
+        pad_cols(T.base_linear_motion_task(data, wbc_cfg.base_linear_kp, wbc_cfg.base_linear_kd)),
+    )
+
+    x_opt = solve_hierarchy([task0, task1, task2], qp_iters=qp_iters)
+    tau = compute_torque_ft(data, x_opt)
+    cmd = jnp.concatenate([x_opt, tau])
+    return cmd, WbcState(input_last=input_desired)

@@ -49,6 +49,7 @@ class WbcData:
     ee_rot_des: jnp.ndarray
     force_des: jnp.ndarray        # (12,) MPC contact forces
     torque_limits: jnp.ndarray    # (18,)
+    wrench_des: jnp.ndarray = None  # (6,) MPC EE wrench (force-tracking only)
 
 
 def build_wbc_data(
@@ -101,7 +102,7 @@ def build_wbc_data(
     joint_acc = (input_desired[12:30] - input_last[12:30]) / period
     A = dynamics.centroidal_momentum_matrix(model, q_des)
     Adot = dynamics.centroidal_momentum_matrix_dot(model, q_des, v_des)
-    h_norm_rate = centroidal.flow_map(model, state_desired, input_desired)[0:6]
+    h_norm_rate = centroidal.flow_map_any(model, state_desired, input_desired)[0:6]
     rate = m_tot * h_norm_rate - Adot @ v_des - A[:, 6:] @ joint_acc
     base_acc_des = jnp.linalg.solve(A[:, :6], rate)
 
@@ -116,6 +117,8 @@ def build_wbc_data(
         ee_pos_des=ee_pos_des, ee_vel_des=ee_vel_des, ee_rot_des=ee_rot_des,
         force_des=input_desired[0:12],
         torque_limits=model.effort_limit,
+        wrench_des=(input_desired[30:36] if input_desired.shape[-1] == 36
+                    else jnp.zeros(6, dtype=q_meas.dtype)),
     )
 
 

@@ -76,11 +76,11 @@ class WbcGains:
 class WbcState:
     """Cross-tick WBC memory (finite-difference joint accelerations)."""
 
-    input_last: jnp.ndarray  # (30,)
+    input_last: jnp.ndarray  # (nu,) — 30 nominal, 36 force-tracking
 
     @staticmethod
-    def init(dtype=jnp.float64):
-        return WbcState(input_last=jnp.zeros(30, dtype=dtype))
+    def init(dtype=jnp.float64, nu: int = 30):
+        return WbcState(input_last=jnp.zeros(nu, dtype=dtype))
 
 
 def _wbc_common(model, wbc_cfg, state_desired, input_desired, rbd_measured,
