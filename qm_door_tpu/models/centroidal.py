@@ -67,7 +67,9 @@ def pinocchio_q(x):
 def _base_velocity_from_cmm(model: RobotModel, A, x, u):
     m = jnp.sum(model.body_mass)
     rhs = m * normalized_momentum(x) - spatial.fmv(A[:, 6:], joint_velocities(u))
-    return jnp.linalg.solve(A[:, :6], rhs)
+    # elementwise block-Schur solve: keeps the flow map (and its AD tangents)
+    # inside one fused kernel instead of XLA's batched-LU path
+    return spatial.solve6_block(A[:, :6], rhs)
 
 
 @jax.jit

@@ -32,6 +32,57 @@ def fmv(A, x):
     return jnp.sum(A * x[..., None, :], axis=-1)
 
 
+def inv3(M):
+    """Adjugate inverse of a (batched) 3x3 matrix — pure elementwise ops.
+
+    TPU: XLA lowers a batched ``jnp.linalg.solve`` to an LU kernel whose
+    marginal cost at (B*N, 6, 6) dwarfs the surrounding fused elementwise
+    chain (the same pathology as the batched Cholesky, see
+    solver/riccati.py); Cramer's rule keeps the inverse inside the fusion.
+    Intended for well-conditioned physical matrices (inertia blocks, Euler
+    kinematics maps), where cond * eps(f32) stays far below solver
+    tolerances."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adjT = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adjT / det[..., None, None]
+
+
+def solve6_block(A6, rhs):
+    """Solve ``A6 @ x = rhs`` for a (batched) 6x6 block matrix via the Schur
+    complement of the top-left 3x3 block, using :func:`inv3` — the whole
+    solve stays elementwise/fusable (no batched LU kernel).
+
+    ``A6`` (..., 6, 6); ``rhs`` (..., 6) or (..., 6, k). Built for the CMM
+    base block A_b (top-left = M_tot * I3, Schur complement = locked angular
+    inertia composed with the Euler-rate map — both well-conditioned for a
+    physical robot away from pitch +-pi/2)."""
+    vec = rhs.ndim == A6.ndim - 1
+    r = rhs[..., None] if vec else rhs
+    P, B = A6[..., 0:3, 0:3], A6[..., 0:3, 3:6]
+    C, D = A6[..., 3:6, 0:3], A6[..., 3:6, 3:6]
+    Pi = inv3(P)
+    CPi = fmm(C, Pi)
+    S = D - fmm(CPi, B)
+    r1, r2 = r[..., 0:3, :], r[..., 3:6, :]
+    y2 = fmm(inv3(S), r2 - fmm(CPi, r1))
+    y1 = fmm(Pi, r1 - fmm(B, y2))
+    out = jnp.concatenate([y1, y2], axis=-2)
+    return out[..., 0] if vec else out
+
+
 def skew(v):
     """Cross-product matrix: skew(v) @ u == cross(v, u). Batched over leading dims."""
     z = jnp.zeros_like(v[..., 0])

@@ -165,10 +165,12 @@ def _momentum_velocity_coeffs(model, q, dtype):
     """
     from ..models import dynamics as dyn
 
+    from ..models import spatial
+
     m = jnp.sum(model.body_mass)
     A = dyn.centroidal_momentum_matrix(model, q)  # (6, 24)
     rhs = jnp.concatenate([m * jnp.eye(6, dtype=dtype), A[:, 6:]], axis=1)
-    sol = jnp.linalg.solve(A[:, :6], rhs)         # (6, 24)
+    sol = spatial.solve6_block(A[:, :6], rhs)     # (6, 24), fusable solve
     return sol[:, :6], -sol[:, 6:]
 
 

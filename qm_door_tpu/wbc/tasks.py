@@ -104,7 +104,7 @@ def build_wbc_data(
     Adot = dynamics.centroidal_momentum_matrix_dot(model, q_des, v_des)
     h_norm_rate = centroidal.flow_map_any(model, state_desired, input_desired)[0:6]
     rate = m_tot * h_norm_rate - Adot @ v_des - A[:, 6:] @ joint_acc
-    base_acc_des = jnp.linalg.solve(A[:, :6], rate)
+    base_acc_des = spatial.solve6_block(A[:, :6], rate)
 
     return WbcData(
         contact_flags=contact_flags,

@@ -92,3 +92,27 @@ def test_rotation_error_world_zero_and_direction():
     Rb = spatial.rot_z(jnp.asarray(eps)) @ Ra
     err = spatial.rotation_error_world(Rb, Ra)
     np.testing.assert_allclose(err, [0, 0, eps], atol=1e-8)
+
+
+def test_inv3_and_solve6_block(rng):
+    """Elementwise 3x3 adjugate inverse and 6x6 block-Schur solve match
+    jnp.linalg on well-conditioned matrices (incl. batched shapes) — the
+    fusable replacement for the CMM base-block solve on the TPU hot path."""
+    M = rng.normal(size=(5, 3, 3)) + 3.0 * np.eye(3)
+    got = spatial.inv3(jnp.asarray(M))
+    np.testing.assert_allclose(
+        np.asarray(got), np.linalg.inv(M), rtol=1e-10, atol=1e-12
+    )
+
+    A = rng.normal(size=(7, 6, 6)) + 5.0 * np.eye(6)
+    rhs_m = rng.normal(size=(7, 6, 4))
+    rhs_v = rng.normal(size=(7, 6))
+    got_m = spatial.solve6_block(jnp.asarray(A), jnp.asarray(rhs_m))
+    got_v = spatial.solve6_block(jnp.asarray(A), jnp.asarray(rhs_v))
+    np.testing.assert_allclose(
+        np.asarray(got_m), np.linalg.solve(A, rhs_m), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.linalg.solve(A, rhs_v[..., None])[..., 0],
+        rtol=1e-9, atol=1e-11,
+    )
