@@ -48,6 +48,11 @@ class SqpSettings:
     # >0: linearize nodes in chunks of this size (bounds jacfwd workspace
     # memory for large scenario batches); 0 = all nodes at once
     lin_chunk: int = 0
+    # RK2 discrete-sensitivity mode: "frozen" reuses the first-stage flow
+    # Jacobian for the second stage (defects stay exact RK2; stationarity
+    # error O(dt^2) — measured equivalent downstream) and saves the second
+    # 24-tangent AD sweep; "rk2" = exact OCS2 SensitivityIntegrator behavior
+    sensitivity: str = "frozen"
     # unroll factor of the batch-major Riccati scans (riccati.py). In-graph
     # the scan carries no per-iteration dispatch cost (that ~0.4 ms shows up
     # only for host-dispatched loops); unroll=1 measured fastest end-to-end

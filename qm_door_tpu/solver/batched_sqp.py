@@ -77,7 +77,8 @@ def batched_sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData,
 
     lq = jax.vmap(
         lambda s, Xk, Uk: linearize_ocp(
-            model, ocp, s, dt, Xk, Uk, node_chunk=getattr(settings, "lin_chunk", 0)),
+            model, ocp, s, dt, Xk, Uk, node_chunk=getattr(settings, "lin_chunk", 0),
+            sensitivity=getattr(settings, "sensitivity", "frozen")),
         in_axes=(stage_axis, 0, 0),
     )(stage, X, U)
 

@@ -126,7 +126,8 @@ def sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, setti
                   x_init, X, U):
     """One full SQP iteration. Returns updated (X, U, stats)."""
     lq = linearize_ocp(
-        model, ocp, stage, dt, X, U, node_chunk=getattr(settings, "lin_chunk", 0)
+        model, ocp, stage, dt, X, U, node_chunk=getattr(settings, "lin_chunk", 0),
+        sensitivity=getattr(settings, "sensitivity", "frozen"),
     )
     plq = project_ocp(
         lq, stage, U, shift=settings.hessian_shift, method=settings.projection,
@@ -184,6 +185,7 @@ class _SqpSettingsStatic(NamedTuple):
     linesearch_steps: int = 4
     lin_chunk: int = 0
     riccati_unroll: int = 1  # batch-major sweeps only (riccati.py)
+    sensitivity: str = "frozen"  # RK2 discrete-sensitivity mode (config.py)
 
 
 def _settings_static(cfg_sqp) -> "_SqpSettingsStatic":
@@ -202,6 +204,7 @@ def _settings_static(cfg_sqp) -> "_SqpSettingsStatic":
         linesearch_steps=getattr(cfg_sqp, "linesearch_steps", 4),
         lin_chunk=getattr(cfg_sqp, "lin_chunk", 0),
         riccati_unroll=getattr(cfg_sqp, "riccati_unroll", 8),
+        sensitivity=getattr(cfg_sqp, "sensitivity", "frozen"),
     )
 
 

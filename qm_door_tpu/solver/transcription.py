@@ -174,8 +174,18 @@ def _momentum_velocity_coeffs(model, q, dtype):
     return sol[:, :6], -sol[:, 6:]
 
 
-def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_next):
+def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_next,
+                        sensitivity: str = "rk2"):
     """Fused 24-tangent per-node linearization.
+
+    ``sensitivity``: "rk2" = exact discrete RK2 sensitivities (second flow
+    Jacobian evaluated at the midpoint state, the OCS2 SensitivityIntegrator
+    behavior); "frozen" = the second-stage Jacobian reuses the first
+    (A = I + dt J1 + dt^2/2 J1^2). The DEFECT stays exact RK2 either way, so
+    the SQP fixed point is identical up to stationarity error O(dt^2 H xdot)
+    ~1e-4 relative at dt 0.015 — below both solver tolerance and f32 noise —
+    while dropping the second 24-tangent AD sweep (~90 us/solve of 395 at
+    batch 512 on a v5e).
 
     The centroidal flow map, foot-velocity equalities and EE error are
     nonlinear only in the 24 generalized coordinates q; they are LINEAR in
@@ -241,21 +251,26 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
     x2 = x + dt * f1
     h2, q2 = x2[0:6], x2[6:30]
 
-    def stage2(q_):
-        return centroidal.flow_map_any(model, jnp.concatenate([h2, q_]), u_bar)
+    if sensitivity == "frozen":
+        f2 = centroidal.flow_map_any(model, x2, u_bar)
+        df2_dx2 = df1_dx
+        df2_du = df1_du
+    else:
+        def stage2(q_):
+            return centroidal.flow_map_any(model, jnp.concatenate([h2, q_]), u_bar)
 
-    f2, jvp2 = jax.linearize(stage2, q2)
-    J2q = jax.vmap(jvp2)(jnp.eye(24, dtype=dtype)).T              # (30, 24)
-    dvb2_dh, dvb2_dvj = _momentum_velocity_coeffs(model, q2, dtype)
-    df2_dh = jnp.concatenate([z6_6, dvb2_dh, z18_6], axis=0)
-    df2_dvj = jnp.concatenate(
-        [z6_18, dvb2_dvj, jnp.eye(18, dtype=dtype)], axis=0
-    )
-    df2_dx2 = jnp.concatenate([df2_dh, J2q], axis=1)
-    du_cols2 = [_flow_force_cols(model, x2), df2_dvj]
-    if nu == 36:
-        du_cols2.append(_flow_wrench_cols(model, x2))
-    df2_du = jnp.concatenate(du_cols2, axis=1)                    # (30, nu)
+        f2, jvp2 = jax.linearize(stage2, q2)
+        J2q = jax.vmap(jvp2)(jnp.eye(24, dtype=dtype)).T          # (30, 24)
+        dvb2_dh, dvb2_dvj = _momentum_velocity_coeffs(model, q2, dtype)
+        df2_dh = jnp.concatenate([z6_6, dvb2_dh, z18_6], axis=0)
+        df2_dvj = jnp.concatenate(
+            [z6_18, dvb2_dvj, jnp.eye(18, dtype=dtype)], axis=0
+        )
+        df2_dx2 = jnp.concatenate([df2_dh, J2q], axis=1)
+        du_cols2 = [_flow_force_cols(model, x2), df2_dvj]
+        if nu == 36:
+            du_cols2.append(_flow_wrench_cols(model, x2))
+        df2_du = jnp.concatenate(du_cols2, axis=1)                # (30, nu)
 
     # RK2 (Heun) discrete sensitivities: Phi = x + dt/2 (f1 + f2(x + dt f1, u))
     eye30 = jnp.eye(30, dtype=x.dtype)
@@ -270,16 +285,18 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
 
 
 def linearize_ocp(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, X, U,
-                  node_chunk: int = 0) -> LqProblem:
+                  node_chunk: int = 0, sensitivity: str = "rk2") -> LqProblem:
     """Vectorized linearization of dynamics/cost/constraints along (X, U).
 
     X: (N+1, 30), U: (N, 30). ``node_chunk`` > 0 processes nodes in chunks
     (lax.map batch_size) to bound the jacfwd workspace at large scenario
-    batches; 0 vectorizes all nodes at once.
+    batches; 0 vectorizes all nodes at once. ``sensitivity``: see
+    :func:`_node_linearization`.
     """
     N = U.shape[0]
     ks = jnp.arange(N)
-    fn = partial(_node_linearization, model, ocp, stage, dt)
+    fn = partial(_node_linearization, model, ocp, stage, dt,
+                 sensitivity=sensitivity)
     if node_chunk and node_chunk < N:
         A, B, d, l, lx, lu, lxx, luu, lux, g0, Gx, Gv = jax.lax.map(
             lambda args: fn(*args), (ks, X[:-1], U, X[1:]), batch_size=node_chunk

@@ -220,3 +220,44 @@ def test_fused_linearization_matches_reference(mpc_setup):
         ref = ref_fn(k, X[k], U[k], X[k + 1])
         for a, b in zip(fused, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_frozen_sensitivity_same_fixed_point(mpc_setup):
+    """'frozen' RK2 sensitivity (second-stage Jacobian reused from the first)
+    must converge to the same solution as the exact discrete sensitivity:
+    the defects are exact RK2 either way, so only the convergence PATH may
+    differ, not the fixed point."""
+    import copy
+
+    from qm_door_tpu.solver.sqp import SqpSolver
+
+    model, cfg, ocp, solver, x0, targets = mpc_setup
+    sched = GaitSchedule()
+    sched.insert_template(GAIT_LIBRARY["trot"], 0.0, 3.0)
+
+    sols = {}
+    for mode in ("rk2", "frozen"):
+        c = copy.deepcopy(cfg)
+        c.mpc.time_horizon = 0.3
+        c.sqp.sensitivity = mode
+        s = SqpSolver(model, ocp, c)
+        stage = build_stage_data(model, c, sched, targets, 0.0,
+                                 horizon=c.mpc.time_horizon)
+        sol = s.solve(stage, x0)
+        for _ in range(5):
+            sol = s.solve(stage, x0, warm=(sol.times, sol.X, sol.U))
+        assert float(sol.constraint_violation) < 1e-6, mode
+        sols[mode] = sol
+
+    # The inexact constraint Jacobian perturbs the stationarity condition, so
+    # the optimum shifts by O(dt^2): measured max |dX| = 3.3e-3 state units
+    # (joint angles ~0.5 rad scale) at dt 0.015 — the closed-loop goldens
+    # (tests/test_closed_loop*) bound the behavioral effect.
+    np.testing.assert_allclose(
+        np.asarray(sols["frozen"].X), np.asarray(sols["rk2"].X),
+        atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sols["frozen"].U), np.asarray(sols["rk2"].U),
+        atol=1e-1,
+    )
