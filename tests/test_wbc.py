@@ -257,3 +257,80 @@ def test_nullspace_backends_equivalent(wbc_setup):
         assert float(jnp.max(t0.D @ x_s - t0.f)) < 1e-6
         # contact forces (pinned by t2) must match
         np.testing.assert_allclose(np.asarray(x_p[24:]), np.asarray(x_s[24:]), atol=1e-2)
+
+
+@pytest.mark.parametrize("flags_list,label", [
+    ([0.0, 0.0, 0.0, 0.0], "flight"),
+    ([1.0, 0.0, 0.0, 0.0], "one_contact"),
+    ([1.0, 0.0, 0.0, 1.0], "two_contact"),
+])
+@pytest.mark.parametrize("dtype", ["f64", "f32"])
+def test_wbc_rank_edges(wbc_setup, flags_list, label, dtype):
+    """Hierarchy at 0/1/2-contact modes (flight phase of flying_trot/pace):
+    task-0 rank = 6 + 3c varies most here and the Cholesky null projector's
+    ridge must stay well-posed — in f32 as deployed on TPU as well as f64.
+    Asserts the physical KKT content of the solution: EoM equality residual,
+    swing-force zeroing, torque limits, finite outputs."""
+    from qm_door_tpu.models import kinematics
+
+    from qm_door_tpu.models import aliengo_z1
+
+    model, cfg, x0, rbd = wbc_setup
+    dt = jnp.float32 if dtype == "f32" else jnp.float64
+    if dtype == "f32":
+        model = aliengo_z1(dtype=jnp.float32)
+    flags = jnp.asarray(flags_list, dtype=dt)
+    u_des = centroidal.weight_compensating_input(model, flags).astype(dt)
+    if label == "flight":
+        u_des = jnp.zeros(30, dtype=dt)
+    cmd, _ = hierarchical_wbc(
+        model, cfg.wbc, x0.astype(dt), u_des, rbd.astype(dt), flags,
+        WbcState.init(dtype=dt), 0.002, use_arm_init=False, qp_iters=40,
+    )
+    cmd = np.asarray(cmd, dtype=np.float64)
+    assert np.isfinite(cmd).all(), label
+    qdd, F, tau = cmd[:24], cmd[24:36], cmd[36:54]
+
+    # swing feet carry ~zero force (f32: roundoff relative to |F| ~ 2e2)
+    swing = np.repeat(1.0 - np.asarray(flags_list), 3)
+    np.testing.assert_allclose(
+        swing * F, 0.0, atol=0.3 if dtype == "f32" else 1e-6)
+
+    # floating-base EoM rows (the rank-6 core of task 0) must balance to
+    # roundoff RELATIVE to the term magnitudes (one-contact solutions carry
+    # |qdd| ~ 80 rad/s^2, so absolute residuals scale with ~1e3 N terms)
+    q0 = centroidal.pinocchio_q(x0)
+    M = np.asarray(dynamics.mass_matrix(model, q0), dtype=np.float64)
+    h = np.asarray(
+        dynamics.nonlinear_effects(model, q0, jnp.zeros_like(q0)),
+        dtype=np.float64,
+    )
+    Jc = np.asarray(
+        kinematics.frame_jacobians(model, q0, model.contact_frame_ids)[:, :3, :],
+        dtype=np.float64,
+    ).reshape(12, 24)
+    scale = max(
+        1.0, np.abs(M @ qdd).max(), np.abs(h).max(), np.abs(Jc.T @ F).max()
+    )
+    # f32 gate: the PDIP hierarchy converges to ~1.6e-3 relative KKT residual
+    # at 40 iterations in f32 (measured, one-contact); a rank collapse would
+    # show as O(1) relative. f64 is roundoff-limited.
+    rtol = 5e-3 if dtype == "f32" else 1e-8
+    resid_base = (M @ qdd + h - Jc.T @ F)[:6]
+    assert np.abs(resid_base).max() < rtol * scale, (label, resid_base, scale)
+
+    # joint rows balance with the recovered torques
+    resid_j = (M @ qdd + h - Jc.T @ F)[6:] - tau
+    assert np.abs(resid_j).max() < rtol * scale, (label, resid_j, scale)
+
+    # torque limits (task-0 inequalities)
+    assert (np.abs(tau) <= np.asarray(model.effort_limit) + 1e-3).all(), label
+
+    # friction cones for stance feet
+    mu = cfg.wbc.friction_coefficient
+    Fm = F.reshape(4, 3)
+    for i, fl in enumerate(flags_list):
+        if fl > 0.5:
+            assert Fm[i, 2] >= -1e-6, label
+            assert np.abs(Fm[i, 0]) <= mu * Fm[i, 2] + 1e-3, label
+            assert np.abs(Fm[i, 1]) <= mu * Fm[i, 2] + 1e-3, label
