@@ -34,6 +34,13 @@ class SimConfig(NamedTuple):
     # terrain: static name selects the height-field; params are traced
     terrain: str = "flat"
     terrain_params: tuple = (0.0,)
+    # lateral-collision world mesh (sim/world.py: mazes/tunnels/v-chimney);
+    # "none" disables the wall-contact query entirely
+    world: str = "none"
+    world_offset: tuple = (0.0, 0.0, 0.0)
+    wall_stiffness: float = 20000.0
+    wall_damping: float = 300.0
+    wall_friction: float = 0.7  # mazes/maze1.xacro:20-21
 
     @property
     def terrain_height(self):
@@ -120,6 +127,14 @@ def sim_step(model: RobotModel, cfg: SimConfig, state: SimState, command_stack,
     Fc, J, _ = _contact_forces(model, cfg, q, v)
     tau_gen = jnp.concatenate([jnp.zeros(6, dtype=q.dtype), tau])
     tau_gen = tau_gen + jnp.einsum("cij,ci->j", J, Fc)
+    if cfg.world != "none":
+        from .world import load_world, world_generalized_forces
+
+        mesh = load_world(cfg.world, cfg.world_offset)
+        tau_gen = tau_gen + world_generalized_forces(
+            model, mesh, q, v, stiffness=cfg.wall_stiffness,
+            damping=cfg.wall_damping, mu=cfg.wall_friction,
+        )
     if external_wrench is not None:
         Jb = kinematics.frame_jacobians(model, q, (model.base_frame_id,))[0]
         tau_gen = tau_gen + Jb.T @ external_wrench
