@@ -55,6 +55,7 @@ class ClosedLoopRunner:
         mpc_decimation: int = 10,      # physics steps per MPC solve (100 Hz)
         solver: Optional[SqpSolver] = None,
         estimator: str = "ground_truth",  # or "kalman" (IMU + leg odometry KF)
+        separated: bool = False,  # separated-system WBC (the reference's ss/ launch set)
     ):
         self.model = model
         self.cfg = cfg
@@ -66,7 +67,7 @@ class ClosedLoopRunner:
         else:
             self.ocp = solver.ocp
             self.solver = solver
-        self.controller = QmController(model, cfg)
+        self.controller = QmController(model, cfg, separated=separated)
         self.control_decimation = control_decimation
         self.mpc_decimation = mpc_decimation
         self.estimator = estimator
