@@ -117,6 +117,21 @@ def test_viz_renders(tmp_path, model):
     p2 = plot_support_and_footholds(model, q, flags, str(tmp_path / "sup.png"))
     assert (tmp_path / "sup.png").exists()
 
+    # force-arrow/CoP and TF-skeleton channels (QmVisualizer parity)
+    from qm_door_tpu.utils.viz import contact_cop, plot_force_arrows, plot_skeleton
+
+    u = np.zeros(36); u[2] = u[5] = u[8] = u[11] = 68.0; u[30] = 25.0
+    plot_force_arrows(model, q[0], u, str(tmp_path / "forces.png"))
+    assert (tmp_path / "forces.png").exists()
+    plot_skeleton(model, q[0], str(tmp_path / "skel.png"))
+    assert (tmp_path / "skel.png").exists()
+    # CoP of equal vertical forces = foot centroid
+    from qm_door_tpu.models import kinematics
+
+    p_feet = np.asarray(kinematics.contact_positions(model, jnp.asarray(q[0])))
+    cop = contact_cop(p_feet, u[:12].reshape(4, 3))
+    np.testing.assert_allclose(cop[:2], p_feet[:, :2].mean(0), atol=1e-9)
+
 
 def test_door_model():
     """Articulated door (door_push.urdf parity): latch blocks the panel until
