@@ -25,6 +25,36 @@ def test_gait_commander_unknown_name():
         cmd.command("moonwalk", 0.0)
 
 
+def test_joy_gait_deadman_and_change_detection():
+    """GaitJoyPublisher.cpp:35-60 semantics: deadman (button 4) + button
+    0/1 selects trot/stance; repeats of the same command are ignored."""
+    sched = GaitSchedule()
+    cmd = GaitCommander(sched, time_horizon=1.0)
+    # no deadman -> ignored
+    assert cmd.joy_buttons([1, 0, 0, 0, 0], 0.0) is None
+    # deadman + button 0 -> trot
+    assert cmd.joy_buttons([1, 0, 0, 0, 1], 0.0) == "trot"
+    assert sched.mode_at(1.3) in (9, 6)
+    # repeat -> no-op (lastGaitCommand_ tracking)
+    assert cmd.joy_buttons([1, 0, 0, 0, 1], 0.1) is None
+    # both pressed -> stance wins
+    assert cmd.joy_buttons([1, 1, 0, 0, 1], 0.2) == "stance"
+
+
+def test_joy_teleop_axis_mapping():
+    """joy.yaml: deadman-gated axis scales for cmd_vel / ee_cmd_vel."""
+    from qm_door_tpu.runtime.gait_command import JoyTeleop
+
+    joy = JoyTeleop()
+    axes = [1.0, -0.5, 0.0, 0.4, -1.0]
+    assert joy.cmd_vel(axes, [0, 0, 0, 0, 0, 0]) is None
+    v = joy.cmd_vel(axes, [0, 0, 0, 0, 1, 0])
+    np.testing.assert_allclose(v, [0.5 * -0.5, 0.3 * 1.0, 0.0, 1.57 * 0.4])
+    assert joy.ee_cmd_vel(axes, [0, 0, 0, 0, 1, 0]) is None
+    ve = joy.ee_cmd_vel(axes, [0, 0, 0, 0, 0, 1])
+    np.testing.assert_allclose(ve, [0.5 * -0.5, 0.3 * 1.0, 0.1 * -1.0, 0.0])
+
+
 def test_metrics_timer_and_report():
     m = Metrics()
     t = m.timer("mpc")
