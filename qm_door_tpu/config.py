@@ -103,6 +103,16 @@ class CostSettings:
 
 
 @dataclass
+class SelfCollisionSettings:
+    """ocs2_self_collision role (QMInterface.h:19,50,89 declares the
+    geometry interface but never instantiates the constraint; mu = 0 keeps
+    the same shipped behavior while the capability exists)."""
+    mu: float = 0.0          # > 0 enables the soft constraint
+    delta: float = 0.02      # relaxed-barrier quadratic extension
+    margin: float = 0.05     # clearance added to the sphere radii
+
+
+@dataclass
 class FrictionSettings:
     friction_coefficient: float = 0.7
     barrier_mu: float = 0.1
@@ -213,6 +223,7 @@ class QmConfig:
     swing: SwingSettings = field(default_factory=SwingSettings)
     cost: CostSettings = field(default_factory=CostSettings)
     friction: FrictionSettings = field(default_factory=FrictionSettings)
+    self_collision: SelfCollisionSettings = field(default_factory=SelfCollisionSettings)
     joint_limits: JointLimitSettings = field(default_factory=JointLimitSettings)
     model: ModelSettings = field(default_factory=ModelSettings)
     wbc: WbcSettings = field(default_factory=WbcSettings)

@@ -60,12 +60,20 @@ class OcpConfig:
     # ModelSettings.h:147-153 leg-only joint set, realized as a mask — the
     # framework's fixed-shape mode-switching rule)
     arm_locked: bool = struct.field(pytree_node=False, default=False)
+    # self-collision soft constraint (ocp/collision.py); mu = 0 disables,
+    # matching the reference's declared-but-uninstantiated constraint
+    self_collision_mu: float = struct.field(pytree_node=False, default=0.0)
+    self_collision_delta: float = struct.field(pytree_node=False, default=0.02)
+    self_collision_margin: float = struct.field(pytree_node=False, default=0.05)
 
 
 def make_ocp_config(model: RobotModel, cfg, dtype=jnp.float64) -> OcpConfig:
     """Build OcpConfig from a QmConfig, including the R leg-velocity mapping
     (QMInterface::initializeInputCostWeight, QMInterface.cpp:274-299)."""
+    from ..config import SelfCollisionSettings
+
     c = cfg.cost
+    sc = getattr(cfg, "self_collision", None) or SelfCollisionSettings()
     Q = jnp.asarray(np.diag(c.q_diag), dtype=dtype)
 
     r_task = np.concatenate(
@@ -103,6 +111,9 @@ def make_ocp_config(model: RobotModel, cfg, dtype=jnp.float64) -> OcpConfig:
         arm_vel_lower=jnp.asarray(jl.arm_velocity_lower, dtype=dtype),
         arm_vel_upper=jnp.asarray(jl.arm_velocity_upper, dtype=dtype),
         arm_locked=getattr(cfg.model, "arm_locked", False),
+        self_collision_mu=sc.mu,
+        self_collision_delta=sc.delta,
+        self_collision_margin=sc.margin,
     )
 
 
@@ -245,6 +256,10 @@ def stage_cost(model: RobotModel, ocp: OcpConfig, stage: StageData, k, x, u):
     c += ee_stage_cost(model, ocp, x, stage.ee_pos_ref[k], stage.ee_quat_ref[k])
     c += _cone_cost(ocp, u, stage.contact_flags[k])
     c += _soft_limits_cost(ocp, x, u)
+    if ocp.self_collision_mu > 0.0:
+        from . import collision
+
+        c += collision.self_collision_cost(model, ocp, x)
     return c
 
 
@@ -365,6 +380,14 @@ def quadratize_stage(model: RobotModel, ocp: OcpConfig, stage: StageData, k, x, 
             w, ocp.wrench_lower, ocp.wrench_upper, ocp.wrench_mu, ocp.wrench_delta
         )
         luu = luu + jnp.diag(jnp.concatenate([jnp.zeros(30, dtype=dtype), dww]))
+
+    if ocp.self_collision_mu > 0.0:
+        from . import collision
+
+        lc, lcx, lcxx = collision.quadratize_self_collision(model, ocp, x)
+        l = l + lc
+        lx = lx + lcx
+        lxx = lxx + lcxx
 
     return l, lx, lu, lxx, luu, lux
 
