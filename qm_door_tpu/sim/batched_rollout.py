@@ -61,13 +61,21 @@ class BatchedClosedLoop:
 
     def __init__(self, model: RobotModel, cfg, solver: SqpSolver,
                  sim_cfg: SimConfig = SimConfig(),
-                 control_decim: int = 2, mpc_decim: int = 10):
+                 control_decim: int = 2, mpc_decim: int = 10,
+                 solve_chunk: int = 0):
         self.model = model
         self.cfg = cfg
         self.solver = solver
         self.sim_cfg = sim_cfg
         self.control_decim = control_decim
         self.mpc_decim = mpc_decim
+        # solve_chunk > 0 runs the MPC solve stage in lax.map chunks of that
+        # many scenarios: the linearize/LQ workspace is the rollout's HBM
+        # peak (~2.5 GB per 1024 scenarios at 67 nodes) and the rollout is
+        # sim/WBC-dominated (solve is ~8% of cycle time at batch 1024), so
+        # chunking the solve lifts the scenario ceiling (2048/4096 faulted
+        # the device un-chunked on one v5e) at negligible throughput cost.
+        self.solve_chunk = solve_chunk
         self._run = jax.jit(self._run_impl)
 
     def init_carry(self, stage0: StageData, q0_batch, v0_batch=None) -> RolloutCarry:
@@ -150,7 +158,14 @@ class BatchedClosedLoop:
                 x0, Xi, Ui,
             )
 
-        X, U, (cost, viol, alpha) = jax.vmap(solve_one)(x_obs, Xw, Uw)
+        B = x_obs.shape[0]
+        if self.solve_chunk and self.solve_chunk < B:
+            X, U, (cost, viol, alpha) = jax.lax.map(
+                lambda args: solve_one(*args),
+                (x_obs, Xw, Uw), batch_size=self.solve_chunk,
+            )
+        else:
+            X, U, (cost, viol, alpha) = jax.vmap(solve_one)(x_obs, Xw, Uw)
 
         def physics_block(inner, step_idx):
             sim, input_last, command = inner

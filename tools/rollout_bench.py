@@ -52,7 +52,13 @@ def main():
 
     sim_cfg = SimConfig()
     mpc_decim = 10
-    loop = BatchedClosedLoop(model, cfg, solver, sim_cfg, 2, mpc_decim)
+    # cap the solve stage's HBM workspace at the proven batch-1024 level
+    # (un-chunked 2048+ faults the v5e; the rollout is sim/WBC-dominated so
+    # chunking the solve is ~free) — override with QM_ROLLOUT_SOLVE_CHUNK
+    chunk_default = 1024 if b > 1024 else 0
+    solve_chunk = int(os.environ.get("QM_ROLLOUT_SOLVE_CHUNK", chunk_default))
+    loop = BatchedClosedLoop(model, cfg, solver, sim_cfg, 2, mpc_decim,
+                             solve_chunk=solve_chunk)
     stages = stack_stages(model, cfg, sched, targets, 0.0, cycles,
                           mpc_decim * sim_cfg.dt, dtype)
 
@@ -80,12 +86,32 @@ def main():
     wr[lo:hi, :, 1] += (push * np.sin(heading))[None, :]
     wrenches = jnp.asarray(wr, dtype=dtype)
 
+    if os.environ.get("QM_ROLLOUT_MEMSTATS") == "1":
+        # exact compiled-footprint report (XLA memory analysis): where the
+        # HBM goes at large batch, without having to survive a run
+        lowered = loop._run.lower(stages, carry, wrenches)
+        mem = lowered.compile().memory_analysis()
+        print(json.dumps({
+            "batch": b, "solve_chunk": solve_chunk,
+            "argument_mb": round(mem.argument_size_in_bytes / 2**20, 1),
+            "output_mb": round(mem.output_size_in_bytes / 2**20, 1),
+            "temp_mb": round(mem.temp_size_in_bytes / 2**20, 1),
+            "generated_code_mb": round(
+                mem.generated_code_size_in_bytes / 2**20, 1),
+        }), flush=True)
+
     print("compiling batched rollout ...", file=sys.stderr, flush=True)
     t0 = time.time()
     carry_out, log = loop.run(stages, carry, wrenches)
     jax.block_until_ready(carry_out.sim.q)
     compile_s = time.time() - t0
     print(f"compiled+ran in {compile_s:.1f}s", file=sys.stderr, flush=True)
+
+    # Free the warm-up run's outputs BEFORE the timed run: holding them
+    # doubles peak HBM (first-run log + second-run workspace) and at batch
+    # >= 2048 that overcommit surfaces as an opaque 'TPU device error' on
+    # the next dispatch rather than a clean OOM.
+    del carry_out, log
 
     t0 = time.time()
     carry_out, log = loop.run(stages, carry, wrenches)
