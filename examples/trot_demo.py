@@ -27,6 +27,7 @@ from qm_door_tpu.models import aliengo_z1, kinematics, spatial
 from qm_door_tpu.ocp.gait import GAIT_LIBRARY, GaitSchedule
 from qm_door_tpu.ocp.reference import TargetTrajectories
 from qm_door_tpu.sim.closed_loop import ClosedLoopRunner
+from qm_door_tpu.utils.dashboard import flight_report
 from qm_door_tpu.utils.viz import plot_closed_loop
 
 
@@ -54,6 +55,7 @@ def main():
     print(f"safe: {log.safe}; final base pose: {np.round(base[-1], 3)}")
     print(f"MPC violation (last): {log.mpc_viol[-1]:.2e}")
     path = plot_closed_loop(log, "trot_demo.png", f"{duration:.1f}s trot")
+    flight_report(log, "trot_report.png", f"{duration:.1f}s trot flight report")
     print(f"wrote {path}")
 
 

@@ -162,6 +162,23 @@ def test_viz_renders(tmp_path, model):
     cop = contact_cop(p_feet, u[:12].reshape(4, 3))
     np.testing.assert_allclose(cop[:2], p_feet[:, :2].mean(0), atol=1e-9)
 
+    # flight-report dashboard (rqt_multiplot panel-set parity)
+    from qm_door_tpu.utils.dashboard import flight_report
+
+    class _Log:
+        pass
+
+    log = _Log()
+    T = 20
+    log.t = list(np.linspace(0, 1, T))
+    log.x_obs = [np.zeros(30) for _ in range(T)]
+    log.base_pose = [np.zeros(6) for _ in range(T)]
+    log.ee_pos = [np.zeros(3) for _ in range(T)]
+    log.tau = [np.zeros(18) for _ in range(T)]
+    log.mpc_viol = [1e-6] * 5
+    flight_report(log, str(tmp_path / "report.png"))
+    assert (tmp_path / "report.png").exists()
+
 
 def test_door_model():
     """Articulated door (door_push.urdf parity): latch blocks the panel until
