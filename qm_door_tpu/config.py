@@ -252,7 +252,8 @@ def quad_only_config() -> QmConfig:
     cfg.cost.ee_mu_orientation = 0.0
     cfg.cost.final_ee_mu_position = 0.0
     cfg.cost.final_ee_mu_orientation = 0.0
-    # HierarchicalWbc's t<10s init stack already IS the arm-hold stack
-    # (arm joint PD replaces the EE tasks); keep it forever.
-    cfg.wbc.arm_init_time = float("inf")
+    # The locked WBC stack (hierarchical_wbc arm_locked=True) swaps the EE
+    # rows of T1 for the arm-joint hold while KEEPING base height/angular
+    # and swing tasks; the init stack is never needed.
+    cfg.wbc.arm_init_time = -1.0
     return cfg

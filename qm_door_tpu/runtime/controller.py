@@ -93,6 +93,7 @@ def controller_tick(
     separated: bool = False,
     force_tracking: bool = False,
     grasp=0.0,
+    arm_locked=False,
 ) -> TickResult:
     """One jittable control tick (QMController::update body).
 
@@ -113,7 +114,8 @@ def controller_tick(
         tau = wbc_cmd[42:60]
     else:
         wbc_fn = hierarchical_mpc_wbc if separated else partial(
-            hierarchical_wbc, use_arm_init=t < ctrl.arm_init_time
+            hierarchical_wbc, use_arm_init=t < ctrl.arm_init_time,
+            arm_locked=arm_locked,
         )
         wbc_cmd, wbc_state = wbc_fn(
             model, wbc_cfg, x_opt, u_opt, rbd_measured, contact_flags, wbc_state, period
@@ -179,7 +181,8 @@ class QmController:
         self.gains = WbcGains.from_settings(cfg.wbc)
         self._tick = jax.jit(
             partial(controller_tick, model, separated=separated,
-                    force_tracking=force_tracking)
+                    force_tracking=force_tracking,
+                    arm_locked=getattr(cfg.model, "arm_locked", False))
         )
         self.yaw_last = 0.0
 

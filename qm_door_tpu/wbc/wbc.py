@@ -100,8 +100,16 @@ def _wbc_common(model, wbc_cfg, state_desired, input_desired, rbd_measured,
 
 def hierarchical_wbc(model: RobotModel, wbc_cfg, state_desired, input_desired,
                      rbd_measured, contact_flags, wbc_state: WbcState, period,
-                     use_arm_init: bool | jnp.ndarray = False, qp_iters=None):
+                     use_arm_init: bool | jnp.ndarray = False, qp_iters=None,
+                     arm_locked: bool = False):
     """Combined-system WBC tick. ``use_arm_init``: time < arm_init_time.
+
+    ``arm_locked`` (static; quad-only variant, BASELINE config #1): the EE
+    tracking rows of T1 are replaced by the arm-joint PD hold — same 6 rows,
+    so the hierarchy keeps its fixed shape — while base height/angular and
+    swing tasks stay in place (holding the WHOLE T1 on the arm-init stack
+    forever measured a trot that settles ~10 deg tilted: it drops the base
+    orientation task).
 
     Returns (cmd (54,), new_wbc_state).
     """
@@ -113,19 +121,25 @@ def hierarchical_wbc(model: RobotModel, wbc_cfg, state_desired, input_desired,
 
     kp_arm = jnp.asarray(wbc_cfg.arm_joint_kp, dtype=data.M.dtype)
     kd_arm = jnp.asarray(wbc_cfg.arm_joint_kd, dtype=data.M.dtype)
+    if arm_locked:
+        ee_rows = T.arm_joint_tracking_task(data, kp_arm, kd_arm)
+    else:
+        ee_rows = T.concat_tasks(
+            T.ee_linear_tracking_task(
+                data,
+                jnp.asarray(wbc_cfg.ee_linear_kp, dtype=data.M.dtype),
+                jnp.asarray(wbc_cfg.ee_linear_kd, dtype=data.M.dtype),
+            ),
+            T.ee_angular_tracking_task(
+                data,
+                jnp.asarray(wbc_cfg.ee_angular_kp, dtype=data.M.dtype),
+                jnp.asarray(wbc_cfg.ee_angular_kd, dtype=data.M.dtype),
+            ),
+        )
     task1_full = T.concat_tasks(
         T.base_height_motion_task(data, wbc_cfg.base_height_kp, wbc_cfg.base_height_kd),
         T.base_angular_motion_task(data, wbc_cfg.base_angular_kp, wbc_cfg.base_angular_kd),
-        T.ee_linear_tracking_task(
-            data,
-            jnp.asarray(wbc_cfg.ee_linear_kp, dtype=data.M.dtype),
-            jnp.asarray(wbc_cfg.ee_linear_kd, dtype=data.M.dtype),
-        ),
-        T.ee_angular_tracking_task(
-            data,
-            jnp.asarray(wbc_cfg.ee_angular_kp, dtype=data.M.dtype),
-            jnp.asarray(wbc_cfg.ee_angular_kd, dtype=data.M.dtype),
-        ),
+        ee_rows,
         T.scale_task(T.swing_leg_task(data, wbc_cfg.swing_kp, wbc_cfg.swing_kd),
                      wbc_cfg.swing_task_weight),
     )

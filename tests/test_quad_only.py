@@ -105,3 +105,40 @@ def test_quad_only_trot_solve(model, quad_setup):
     np.testing.assert_allclose(np.asarray(sol.U[:, 24:30]), 0.0, atol=1e-10)
     np.testing.assert_allclose(
         np.asarray(sol.X[:, 24:30] - x0[24:30][None]), 0.0, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_quad_only_trot_closed_loop(model):
+    """Config #1 golden: the arm-welded variant trots on flat ground with
+    the full stack (sim + WBC arm-hold + quad-only MPC)."""
+    import numpy as np
+
+    from qm_door_tpu.config import quad_only_config
+    from qm_door_tpu.models import kinematics, spatial
+    from qm_door_tpu.ocp.gait import GAIT_LIBRARY, GaitSchedule
+    from qm_door_tpu.ocp.reference import TargetTrajectories
+    from qm_door_tpu.sim.closed_loop import ClosedLoopRunner
+
+    cfg = quad_only_config()
+    cfg.controller.leg_pd_start_time = -1.0
+
+    x0 = jnp.asarray(cfg.initial_state())
+    R_ee, p_ee = kinematics.ee_pose(model, x0[6:30])
+    state = jnp.concatenate([x0, p_ee, spatial.rot_to_quat(R_ee)])
+    targets = TargetTrajectories.create(
+        jnp.array([0.0, 1e5]), jnp.stack([state, state]), jnp.zeros((2, 30)))
+    sched = GaitSchedule()
+    sched.insert_template(GAIT_LIBRARY["trot"], 0.0, 5.0)
+    runner = ClosedLoopRunner(model, cfg, schedule=sched)
+    log = runner.run(targets, duration=1.0)
+
+    assert log.safe
+    base = np.stack(log.base_pose)
+    assert 0.33 < base[-1, 2] < 0.45
+    assert np.abs(base[:, 4:6]).max() < 0.15
+    assert np.abs(base[-1, 0:2]).max() < 0.1
+    # welded arm: joints stay at the default pose throughout
+    x = np.stack(log.x_obs)
+    arm_dev = np.abs(x[:, 24:30] - np.asarray(cfg.initial_state())[24:30])
+    assert arm_dev.max() < 0.12, arm_dev.max()
+    assert log.mpc_viol[-1] < 1e-3
