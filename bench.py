@@ -28,6 +28,11 @@ def main():
     # Solver linear algebra needs true f32 matmuls; the TPU default (bf16
     # operands) destroys the Riccati/Cholesky conditioning.
     jax.config.update("jax_default_matmul_precision", "highest")
+    # Persistent compile cache (single-writer flock; the CppAD codegen-cache
+    # role, task.info:13-15) — warm starts skip the 60-130 s XLA compile.
+    from qm_door_tpu.utils.compile_cache import enable_persistent_cache
+
+    cache_on = enable_persistent_cache()
     b = int(os.environ.get("QM_BENCH_BATCH", "512"))
     reps = int(os.environ.get("QM_BENCH_REPS", "20"))
 
@@ -106,6 +111,7 @@ def main():
         "reps": reps,
         "per_solve_us": round(1e6 * elapsed / (b * reps), 2),
         "compile_s": round(compile_s, 1),
+        "compile_cache": cache_on,
         "backend": mpc.backend,
         "config": "quad_only" if quad_only else "combined",
         "mean_violation": viol,
