@@ -116,3 +116,26 @@ def test_hot_reload_gains_no_recompile(mpc_stack):
     # stiffer height gains -> different torque command
     d = np.abs(np.asarray(res1.command.tau_ff) - np.asarray(res2.command.tau_ff))
     assert d.max() > 1e-3, d.max()
+
+
+@pytest.mark.slow
+def test_separated_closed_loop_stance(mpc_stack):
+    """ss-variant golden: the separated-system controller (HierarchicalMpcWbc)
+    holds stance closed-loop (the reference's ss/ launch set; previously only
+    covered by a single-tick test)."""
+    import numpy as np
+
+    from qm_door_tpu.ocp.gait import GaitSchedule
+    from qm_door_tpu.sim.closed_loop import ClosedLoopRunner
+
+    model, cfg0, ocp, solver, x0, targets = mpc_stack
+    cfg = default_config()
+    cfg.controller.leg_pd_start_time = -1.0
+    cfg.wbc.arm_init_time = -1.0
+    runner = ClosedLoopRunner(model, cfg, solver=solver, separated=True)
+    log = runner.run(targets, duration=0.5)
+    assert log.safe
+    base = np.stack(log.base_pose)
+    assert 0.33 < base[-1, 2] < 0.43
+    assert np.abs(base[:, 4:6]).max() < 0.2
+    assert log.mpc_viol[-1] < 1e-3
