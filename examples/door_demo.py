@@ -27,7 +27,7 @@ from qm_door_tpu.sim.door_loop import DoorOpeningRunner
 
 
 def main():
-    duration = float(sys.argv[1]) if len(sys.argv) > 1 else 3.5
+    duration = float(sys.argv[1]) if len(sys.argv) > 1 else 6.5
     model = aliengo_z1()
     cfg = default_config()
     cfg.controller.leg_pd_start_time = -1.0

@@ -26,7 +26,7 @@ from ..config import QmConfig
 from ..models import centroidal, kinematics, spatial
 from ..models.model import RobotModel
 from ..ocp.force import make_ocp_config_ft, widen_stage_data
-from ..ocp.gait import GaitSchedule
+from ..ocp.gait import GAIT_LIBRARY, GaitSchedule
 from ..ocp.problem import build_stage_data
 from ..ocp.reference import TargetTrajectories
 from ..runtime.controller import QmController
@@ -38,28 +38,75 @@ from .sim import SimConfig, measured_rbd, sim_init
 
 
 class DoorScenario(NamedTuple):
+    """Door-opening sequencing (every constant is measurement-driven; the
+    experiment log lives in the round-2 diag series).
+
+    Sequence: reach -> press (lever past the latch) -> push (EE reference
+    leads along the handle arc; the grasp spring transmits the drive) ->
+    instant release at release_angle -> short settle -> brisk retract.
+
+    Load-bearing findings baked in below:
+    - the EE cost (mu 2000) out-muscles the base pose cost: an out-of-reach
+      EE target DRAGS the base after it instead of failing to track, so
+      push reach comes from lean_gain and targets are workspace-limited;
+    - the grip spring (2000 N/m) dominates the light panel's momentum: any
+      GRADUAL gate fade reels the swinging door back shut, so the let-go
+      is a single control cycle, and the robot-side force step is absorbed
+      by the counter-lean plus the post-release settle;
+    - the stance arm's reach ceiling is panel ~ -0.42 at every lean gain;
+      walking/trotting during or after the push measured unstable in all
+      variants, so the door is released with momentum instead of escorted.
+    """
+
     t_reach: float = 0.5        # settle + reach the handle
     t_unlatch_min: float = 0.3  # press at least this long before pushing
     # EE z-target depth below the handle while pressing the lever
     # (2000 N/m grasp spring: 15 mm ~ 30 N down, lever arm 0.1 m ~ 3 N m
     # against the 2 N m/rad return spring)
     press_depth: float = 0.015
-    open_target: float = -0.5   # rad panel angle considered "open"
-    # Door motion is POSITION-driven (EE reference leads along the handle
-    # arc; the grasp spring transmits the force) and the wrench reference is
-    # the MEASURED grasp force — see _wrench_world. At the open target the
-    # EE target freezes on the open_target handle point so the spring brakes
-    # the coasting panel; once the panel has stopped the grasp is RELEASED
-    # with the EE target frozen at the handle (a release while still pushing
-    # is a measured-divergent disturbance; at near-zero stretch it is
-    # benign, and the swung-open handle sits outside the fixed-base arm
-    # workspace — holding it forever drags the robot over).
-    door_rate_ref: float = -0.5  # rad/s arc-lead rate of the EE reference
-    release_rate: float = 0.12   # |panel rate| below which the hand lets go
-    # the swinging handle leaves the sagittal workspace; the base tracks it
-    # by yawing with the panel (stance feet stay planted — the MPC leans)
-    base_yaw_gain: float = 0.6   # base yaw ref per rad of panel angle
-    base_shift_gain: float = 0.2 # base xy ref per m of handle displacement
+    # shove end / coast start; the stance-arm reach ceiling is ~ -0.42
+    open_target: float = -0.35
+    # instant let-go at this angle (or t_coast_max); the light panel
+    # (panel_inertia 2.4, tau = I/b = 12 s) then swings fully open on its
+    # own momentum — measured to the -2.0 stop from a -0.38 release
+    release_angle: float = -0.42
+    t_coast_max: float = 0.02   # one control cycle: see class docstring
+    coast_grip: float = 0.0     # gate target during the (vestigial) coast
+    # arc-lead rate of the EE reference: sets the door speed and with it
+    # the grasp-spring transmission force; -0.5 measured a violent ride
+    # (base z dips to 0.13 m mid-push), -0.3 keeps the push controlled
+    door_rate_ref: float = -0.3
+    # post-release: freeze the reference at the measured release pose for
+    # t_settle, then retract the EE home over t_retract. BRISK on purpose:
+    # the stand-with-arm-outstretched posture carries a slowly growing
+    # pitch/roll oscillation (~2 s to divergence), so the arm comes home
+    # before it grows.
+    t_settle: float = 0.4
+    t_retract: float = 1.0
+    t_release_ramp: float = 0.0  # instant: see class docstring
+    # stance push: base reference lean toward the handle displacement
+    # (fraction of the handle xy travel); the reach requirement — 0.15
+    # measured the arm saturating before the open target
+    lean_gain: float = 0.3
+    # anticipatory LEFT counter-lean (m), scaled in with the panel angle:
+    # the opening arc pulls the hand toward the hinge side and every
+    # measured fall ended rolling right; pre-loading the CoM left buys the
+    # margin that makes the instant release absorbable (the only measured
+    # stable-through-release configurations carry it)
+    lean_y: float = 0.05
+    # handle spawn point relative to the spawn EE pose. The spawn arm pose
+    # is the reach optimum in BOTH directions: placing the handle 0.18 m
+    # closer measured the base backing up 0.29 m to fold the arm.
+    handle_ahead: float = 0.06
+    # --- alternative terminal behaviors (kept for experimentation; both
+    # measured worse than release-with-momentum on the default door) ---
+    # hold_open: push to open_target and keep gripping forever
+    hold_open: bool = False
+    # walk_in_at: insert a trot past this angle and transport the base
+    # with the arc (measured: charges the robot through the doorway)
+    walk_in_at: float = None
+    walk: bool = False          # trot through the whole push (measured: falls)
+    walk_gait: str = "trot"
 
 
 @dataclass
@@ -94,24 +141,48 @@ class DoorOpeningRunner:
         self.cfg = cfg
         self.scenario = scenario
         self.sim_cfg = sim_cfg
+        # Door contact is a large, fast-changing disturbance relative to
+        # trot: one SQP iteration per 100 Hz solve leaves the nonlinear
+        # defects growing through the push (measured); two keeps them
+        # bounded at twice the per-cycle cost (still real-time scale).
+        cfg.sqp.sqp_iterations = max(cfg.sqp.sqp_iterations, 2)
         self.ocp = make_ocp_config_ft(model, cfg)
         self.solver = SqpSolver(model, self.ocp, cfg)
         self.controller = QmController(model, cfg, force_tracking=True)
         self.control_decimation = control_decimation
         self.mpc_decimation = mpc_decimation
-        self.schedule = GaitSchedule()  # stance throughout
+        self.schedule = GaitSchedule()  # stance until the push inserts trot
 
-        # Place the door so the handle sits a hand-width ahead of the spawn
-        # EE pose (unless the caller provides a door explicitly).
+        # Place the door FACING the robot: the panel plane runs along y
+        # (hinge_yaw = pi/2) with the hinge 0.8 m to the robot's right, and
+        # the handle a hand-width ahead of the spawn EE pose. Opening
+        # (negative panel angle) then moves the handle mostly FORWARD, away
+        # from the robot — the geometry of a real push door. (A panel along
+        # x would sweep the handle sideways through a 0.8 m arc that no
+        # fixed-base or walking reach can track; measured roll-over.)
         x0 = jnp.asarray(cfg.initial_state())
         _, p_ee = kinematics.ee_pose(model, x0[6:30])
         if door_cfg is None:
-            handle_target = np.asarray(p_ee) + np.array([0.06, 0.0, 0.0])
+            handle_target = np.asarray(p_ee) + np.array(
+                [scenario.handle_ahead, 0.0, 0.0])
             base = DoorConfig()
             ox, oy, oz = base.handle_offset
+            yaw0 = np.pi / 2
+            c, s = np.cos(yaw0), np.sin(yaw0)
+            off = np.array([c * ox - s * oy, s * ox + c * oy])
             door_cfg = base._replace(
-                hinge_pos=(float(handle_target[0] - ox), float(handle_target[1] - oy)),
+                hinge_yaw=yaw0,
+                hinge_pos=(float(handle_target[0] - off[0]),
+                           float(handle_target[1] - off[1])),
                 handle_offset=(ox, oy, float(handle_target[2])),
+                # hollow-core interior door (~9 kg slab: m w^2/3 = 2.4) —
+                # DoorConfig's default 8.53 models a heavy solid slab; the
+                # reference URDF's own panel inertial is a 0.1 kg
+                # placeholder, so the lumped value is a free design choice
+                # and the heavy slab measurably cannot be let go of by a
+                # stance robot (its momentum/coast forces exceed the
+                # balance margin at every tried release sequencing)
+                panel_inertia=2.4,
             )
         self.door_cfg = door_cfg
 
@@ -126,20 +197,50 @@ class DoorOpeningRunner:
             self._unlatched = True
         if getattr(self, "_done", False):
             return "done"  # grasp released, door open, hold posture
-        if getattr(self, "_braking", False) or float(door.angle) <= sc.open_target:
-            self._braking = True  # open: stop pushing, brake
-            if abs(float(door.rate)) <= sc.release_rate:
+        if sc.hold_open:
+            if getattr(self, "_holding", False) or float(door.angle) <= sc.open_target:
+                self._holding = True
+                return "hold"
+        coasting = getattr(self, "_t_coast", None) is not None
+        if (not sc.hold_open) and (coasting or float(door.angle) <= sc.open_target):
+            if not coasting:
+                self._t_coast = t
+            unleaned = t >= self._t_coast + 0.3  # un-lean ramp complete
+            if ((float(door.angle) <= sc.release_angle and unleaned)
+                    or t >= self._t_coast + sc.t_coast_max):
                 self._done = True
-                # freeze the EE target where the handle stopped
-                self._p_release = np.asarray(
-                    handle_position(self.door_cfg, door, jnp.float64))
+                self._a_release = float(door.angle)
+                self._t_done = t
+                # the done ramp continues the coast's gate fade from its
+                # current value (a restart from coast_grip would step)
+                self._g_release = self._grasp("coast", t)
                 return "done"
-            return "brake"
+            return "coast"
         if t < sc.t_reach:
             return "reach"
         if getattr(self, "_unlatched", False) and t >= sc.t_reach + sc.t_unlatch_min:
             return "push"
         return "press"
+
+    def _grasp(self, phase, t):
+        """Grasp gate in [0, 1]: on through press/push, loosened through the
+        coast (DoorScenario.coast_grip), ramped off after release."""
+        if phase == "reach":
+            return 0.0
+        if phase == "hold":
+            return 1.0  # never lets go
+        if phase == "coast":
+            # soften in step with the target-lead decay (see _targets):
+            # simultaneous fast grip + target changes measured a lurch
+            r = min(1.0, (t - self._t_coast) / 0.3)
+            return float((1.0 - r) * 1.0 + r * self.scenario.coast_grip)
+        if phase == "done":
+            r = self.scenario.t_release_ramp
+            if r <= 0.0:
+                return 0.0
+            g0 = getattr(self, "_g_release", self.scenario.coast_grip)
+            return float(g0 * np.clip(1.0 - (t - self._t_done) / r, 0.0, 1.0))
+        return 1.0
 
     def _wrench_world(self, phase, F_meas):
         """Reference wrench ON THE ROBOT = the MEASURED grasp force, smoothed.
@@ -154,7 +255,9 @@ class DoorOpeningRunner:
         marching along the handle arc, and the force follows the stretch.
         """
         w = np.zeros(6)
-        if phase in ("press", "push", "brake"):
+        # "done" stays admittance-tracked through the release ramp: F_meas
+        # arrives pre-gated by the grasp gate, so w fades with the coupling
+        if phase in ("press", "push", "coast", "hold", "done"):
             alpha = 0.5
             self._w_ref = (1 - alpha) * self._w_ref + alpha * np.asarray(F_meas)
             w[0:3] = self._w_ref
@@ -167,47 +270,174 @@ class DoorOpeningRunner:
         handle's arc over the MPC horizon (a static current-handle target
         makes the arm lag the moving handle by a full reaction time —
         measured as a growing grasp-spring stretch); through the braking
-        hold it keeps following the handle (the hand never lets go). The
-        base holds its spawn pose."""
+        hold it keeps following the handle (the hand never lets go). After
+        release (done) the arm RETRACTS to the home EE pose carried along
+        with the base reference — holding the swung-away handle point keeps
+        an unreachable target in the EE cost and the 1-iteration SQP
+        violation ratchets up (measured 8.6e4)."""
         sc = self.scenario
         if phase == "push":
             # Predict the panel angle with a blend of the measured rate and
             # the arc-lead setpoint (so the target leads a static door),
-            # saturated at the open target where the brake takes over.
+            # saturated at the open target where the coast takes over.
             dts = np.linspace(0.0, 1.2, 8)
-            rate_pred = 0.5 * (float(door.rate) + sc.door_rate_ref)
+            # capped at the reference rate: an uncapped blend self-reinforces
+            # (fast door -> fast lead -> more pull) and measured 0.7 rad/s at
+            # the coast handoff, leaving no time to un-lean before the
+            # release angle
+            # capped at the reference rate: an uncapped blend self-reinforces
+            # (fast door -> fast lead -> more pull; measured 0.7 rad/s at
+            # the coast handoff)
+            rate_pred = np.clip(
+                0.5 * (float(door.rate) + sc.door_rate_ref),
+                sc.door_rate_ref, 0.0,
+            )
             angles = np.clip(
                 float(door.angle) + rate_pred * dts,
                 sc.open_target, 0.0,
             )
-        elif phase == "brake":
-            # freeze the EE target on the open-target handle point: the
-            # grasp spring decelerates the coasting panel
+        elif phase == "coast":
+            # ride the handle with the horizon lead DECAYING to zero over
+            # 0.3 s: an instant switch from the push's led targets to a
+            # static handle target re-plans the whole horizon in one step
+            # (the terminal EE reference jumps ~0.25 m backward; measured
+            # 1e3-scale violation spikes and a physical lurch at every
+            # discontinuous variant), while a static lead keeps dragging
+            # the base after the departing handle
+            dts = np.linspace(0.0, 1.2, 8)
+            beta = min(1.0, max(0.0, (t - self._t_coast) / 0.3))
+            rate_pred = (1.0 - beta) * np.clip(
+                0.5 * (float(door.rate) + sc.door_rate_ref),
+                sc.door_rate_ref, 0.0,
+            )
+            angles = np.clip(
+                float(door.angle) + rate_pred * dts,
+                sc.release_angle, 0.0,
+            )
+        elif phase == "done":
+            dts = np.array([0.0, 1e5])
+            angles = np.full(2, self._a_release)
+            # settle (s = 0: everything held at the measured release pose),
+            # then smooth retract: measured EE at release -> home pose
+            # transported by the base pose held at release (an instantaneous
+            # jump of the EE target from the outstretched handle to the
+            # retract point measurably tips the robot over)
+            t0 = self._t_done + sc.t_settle
+            if sc.t_retract <= 0.0:
+                s = 0.0  # hold the release posture (see t_retract)
+            else:
+                s = min(1.0, max(0.0, (t - t0) / sc.t_retract))
+            yaw_ref = self._x_done[9]
+            c, sn = np.cos(yaw_ref), np.sin(yaw_ref)
+            Rz2 = np.array([[c, -sn], [sn, c]])
+            rel = self._ee_home[0:2] - np.asarray(self._x_nom)[6:8]
+            p_ret = np.concatenate([
+                self._x_done[6:8] + Rz2 @ rel, [self._ee_home[2]]
+            ])
+            p_t = (1.0 - s) * self._p_ee_done + s * p_ret
+            quat = spatial.quat_mul(
+                spatial.rot_to_quat(spatial.zyx_to_rot(
+                    jnp.array([yaw_ref, 0.0, 0.0]))),
+                ee_quat_hold,
+            )
+            x = np.asarray(self._x_nom).copy()
+            # hold the release xy/yaw and RAMP the height/tilt reference from
+            # the measured release pose to upright-nominal over the retract
+            # (both step variants measured unstable: holding the crouched,
+            # tilted release pose verbatim tips slowly; snapping to nominal
+            # at release dives forward while walking momentum is still live)
+            x[6:8] = (1.0 - s) * self._x_done[6:8] + s * x[6:8]
+            x[8] = (1.0 - s) * self._x_done[8] + s * x[8]
+            x[9] = yaw_ref
+            x[10:12] = (1.0 - s) * self._x_done[10:12]
+            xj = jnp.concatenate([jnp.asarray(x), jnp.asarray(p_t), quat])
+            return TargetTrajectories.create(
+                jnp.asarray(t + dts), jnp.stack([xj, xj]),
+                jnp.zeros((2, 30)),
+            )
+        elif phase == "hold":
+            # frozen on the held-open handle point; the grasp spring brakes
+            # the door's (capped) momentum and keeps it there
             dts = np.array([0.0, 1e5])
             angles = np.full(2, sc.open_target)
         else:
             dts = np.array([0.0, 1e5])
             angles = np.full(2, float(door.angle))
         x_base = np.asarray(self._x_nom)
+        if phase == "coast":
+            c_un = min(1.0, max(0.0, (t - self._t_coast) / 0.3))
+            d_open = np.asarray(handle_position(
+                self.door_cfg,
+                door.replace(angle=jnp.asarray(sc.open_target,
+                                               dtype=jnp.float64)),
+                jnp.float64))
         states = []
         for a in angles:
             d = door.replace(angle=jnp.asarray(a, dtype=jnp.float64))
-            if phase == "done":
-                p_t = self._p_release
-            else:
-                p_t = np.asarray(handle_position(self.door_cfg, d, jnp.float64))
-                if phase == "press":
-                    # press the lever by targeting below the handle
-                    p_t = p_t - np.array([0.0, 0.0, sc.press_depth])
+            p_t = np.asarray(handle_position(self.door_cfg, d, jnp.float64))
+            if phase == "press":
+                # press the lever by targeting below the handle
+                p_t = p_t - np.array([0.0, 0.0, sc.press_depth])
+            if phase == "coast":
+                # workspace clip: an out-of-reach EE target does not make
+                # the arm reach further, it DRAGS THE BASE through the
+                # 2000-weight EE cost (measured 0.3 m of forward drift in
+                # every un-clipped coast variant); the loose grip stretches
+                # over the clipped gap while the door coasts free
+                base_ref = x_base[6:8] + (1.0 - c_un) * sc.lean_gain * (
+                    d_open[0:2] - self._handle0[0:2])
+                center = base_ref + (self._ee_home[0:2]
+                                     - np.asarray(self._x_nom)[6:8])
+                delta = p_t[0:2] - center
+                dist = float(np.linalg.norm(delta))
+                r_max = 0.12
+                if dist > r_max:
+                    p_t = p_t.copy()
+                    p_t[0:2] = center + delta * (r_max / dist)
             x = x_base.copy()
-            if phase in ("push", "brake", "done"):
-                # the base follows the panel — yaw with the door and lean a
-                # fraction of the handle displacement so the handle stays
-                # inside the arm workspace (stance feet remain planted)
-                x[6:8] += sc.base_shift_gain * (p_t[0:2] - self._handle0[0:2])
-                x[9] = sc.base_yaw_gain * a
+            quat = ee_quat_hold
+            if phase == "push" and sc.walk:
+                # walking variant: the spawn geometry base<-handle is
+                # rigid-transported with the panel, so the handle stays at
+                # the spawn-relative reach and the whole body follows the
+                # arc instead of leaning
+                c, sn = np.cos(a), np.sin(a)
+                Rz2 = np.array([[c, -sn], [sn, c]])
+                rel = x_base[6:8] - self._handle0[0:2]
+                x[6:8] = p_t[0:2] + Rz2 @ rel
+                x[9] = a
+                quat = spatial.quat_mul(
+                    spatial.rot_to_quat(spatial.zyx_to_rot(
+                        jnp.array([a, 0.0, 0.0]))),
+                    ee_quat_hold,
+                )
+            elif phase in ("push", "hold"):
+                # stance push/hold: lean the base reference a fraction of
+                # the handle's travel; past the walk-in angle the base
+                # additionally FOLLOWS the handle 1:1 (the trot carries it)
+                x[6:8] = x_base[6:8] + sc.lean_gain * (
+                    p_t[0:2] - self._handle0[0:2])
+                x[7] += sc.lean_y * min(1.0, abs(a) / 0.3)
+                if getattr(self, "_a_walk_in", None) is not None:
+                    d_in = door.replace(angle=jnp.asarray(
+                        self._a_walk_in, dtype=jnp.float64))
+                    p_in = np.asarray(handle_position(
+                        self.door_cfg, d_in, jnp.float64))
+                    adv = p_t[0:2] - p_in[0:2]
+                    # only the part beyond the walk-in point, minus the
+                    # lean share already applied above
+                    x[6:8] = x[6:8] + (1.0 - sc.lean_gain) * np.where(
+                        np.abs(adv) > 0, adv, 0.0)
+            elif phase == "coast":
+                # un-lean while riding loosely: recover the CoM margin
+                # before release (the loose grip transmits too little force
+                # to drag the base after the handle); the counter-lean
+                # fades with the grip
+                x[6:8] = x_base[6:8] + (1.0 - c_un) * sc.lean_gain * (
+                    d_open[0:2] - self._handle0[0:2])
+                x[7] += (1.0 - c_un) * sc.lean_y
             states.append(jnp.concatenate([
-                jnp.asarray(x), jnp.asarray(p_t), ee_quat_hold
+                jnp.asarray(x), jnp.asarray(p_t), quat
             ]))
         return TargetTrajectories.create(
             jnp.asarray(t + dts), jnp.stack(states),
@@ -229,9 +459,15 @@ class DoorOpeningRunner:
         R_ee0, p_ee0 = kinematics.ee_pose(model, q0)
         ee_quat_hold = spatial.rot_to_quat(R_ee0)
         self._ee_home = np.asarray(p_ee0)
-        self._braking = False
         self._done = False
         self._unlatched = False
+        self._t_coast = None
+        self._holding = False
+        self._a_walk_in = None
+        self._walking = False
+        self._x_done = None
+        self._p_ee_done = None
+        self._t_done = 0.0
         self._handle0 = np.asarray(
             handle_position(self.door_cfg, door, jnp.float64))
 
@@ -244,7 +480,7 @@ class DoorOpeningRunner:
 
             targets = self._targets(phase, door, ee_quat_hold, t)
             stage = build_stage_data(model, cfg, self.schedule, targets, t)
-            grasp_now = 0.0 if phase in ("reach", "done") else 1.0
+            grasp_now = self._grasp(phase, t)
             F_meas = grasp_now * np.asarray(
                 grasp_wrench(model, self.door_cfg, door, sim.q, sim.v)[0])
             w = self._wrench_world(phase, F_meas)
@@ -271,7 +507,39 @@ class DoorOpeningRunner:
         for step in range(n_steps):
             t = step * dt
             phase = self._phase(t, door)
-            grasp_now = 0.0 if phase in ("reach", "done") else 1.0
+            if phase == "push" and sc.walk and not self._walking:
+                # walk with the door: trot from the first push cycle
+                self._walking = True
+                self.schedule.insert_template(
+                    GAIT_LIBRARY[sc.walk_gait], t, t + 60.0)
+            if (phase in ("push", "hold") and sc.walk_in_at is not None
+                    and float(door.angle) <= sc.walk_in_at
+                    and not self._walking):
+                # step in: the stance arm is at its reach ceiling
+                self._walking = True
+                self._a_walk_in = float(door.angle)
+                self.schedule.insert_template(
+                    GAIT_LIBRARY[sc.walk_gait], t, t + 60.0)
+            if phase == "done" and self._x_done is None:
+                # freeze the retract anchor at the measured release state
+                self._x_done = np.asarray(
+                    centroidal.centroidal_state_from_rbd(model, rbd_est))
+                self._p_ee_done = np.asarray(rbd_est[48:51])
+                if sc.trot_on_release and not self._walking:
+                    # step through the release: catch the forward momentum
+                    self._walking = True
+                    self.schedule.insert_template(
+                        GAIT_LIBRARY[sc.walk_gait], t, t + 60.0)
+            if (self._walking and self._x_done is not None
+                    and t >= self._t_done + sc.t_settle + sc.t_retract + 0.5):
+                # keep trotting through the release + retract (the robot
+                # carries walking momentum at release; an instant all-stance
+                # schedule plants flags on airborne feet and the slow tip-over
+                # that follows is measured) — stand down only once settled
+                self._walking = False
+                self.schedule.insert_template(
+                    GAIT_LIBRARY["stance"], t, t + 60.0)
+            grasp_now = self._grasp(phase, t)
 
             if step % self.mpc_decimation == 0 and step > 0:
                 x_obs = centroidal.centroidal_state_from_rbd(model, rbd_est)

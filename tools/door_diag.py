@@ -36,6 +36,17 @@ def main():
         print(f"{tm:6.2f} {ph:>6} {vi:9.2e} {panel[j]:8.3f} {log.lever[j]:7.3f}")
     print(f"safe: {log.safe}  panel min {panel.min():.3f}  "
           f"ee_err max {max(log.ee_err)*1000:.0f} mm")
+    print("--- base pose every 0.1 s: t, base xyz, zyx (rad), ee_err mm ---")
+    bp = np.asarray(log.base_pose)
+    for i in range(0, len(t_arr), 25):
+        print(f"{t_arr[i]:6.2f}  xyz {bp[i,0]:+.3f} {bp[i,1]:+.3f} {bp[i,2]:+.3f}"
+              f"  zyx {bp[i,3]:+.3f} {bp[i,4]:+.3f} {bp[i,5]:+.3f}"
+              f"  ee {log.ee_err[i]*1000:6.0f}")
+    print("--- last 60 control rows ---")
+    for i in range(max(0, len(t_arr) - 60), len(t_arr), 2):
+        print(f"{t_arr[i]:6.2f}  xyz {bp[i,0]:+.3f} {bp[i,1]:+.3f} {bp[i,2]:+.3f}"
+              f"  zyx {bp[i,3]:+.3f} {bp[i,4]:+.3f} {bp[i,5]:+.3f}"
+              f"  ee {log.ee_err[i]*1000:6.0f}")
 
 
 if __name__ == "__main__":
