@@ -525,11 +525,6 @@ class DoorOpeningRunner:
                 self._x_done = np.asarray(
                     centroidal.centroidal_state_from_rbd(model, rbd_est))
                 self._p_ee_done = np.asarray(rbd_est[48:51])
-                if sc.trot_on_release and not self._walking:
-                    # step through the release: catch the forward momentum
-                    self._walking = True
-                    self.schedule.insert_template(
-                        GAIT_LIBRARY[sc.walk_gait], t, t + 60.0)
             if (self._walking and self._x_done is not None
                     and t >= self._t_done + sc.t_settle + sc.t_retract + 0.5):
                 # keep trotting through the release + retract (the robot
