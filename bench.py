@@ -24,10 +24,41 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _device_watchdog(timeout_s=240.0):
+    """Fail fast and legibly if the tunneled device is unreachable (a
+    wedged tunnel otherwise hangs the first compile indefinitely —
+    observed after repeated large-batch device faults)."""
+    import threading
+
+    done = threading.Event()
+    err = []
+
+    def probe():
+        try:
+            y = (jnp.ones((128, 128)) @ jnp.ones((128, 128))).sum()
+            jax.block_until_ready(y)
+        except Exception as e:  # noqa: BLE001 - report any device error
+            err.append(repr(e))
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s) or err:
+        reason = err[0] if err else f"device probe hung > {timeout_s:.0f}s"
+        print(json.dumps({
+            "metric": "mpc_solves_per_s", "value": None, "unit": "solves/s",
+            "error": f"TPU unreachable: {reason}",
+        }), flush=True)
+        # os._exit: a hung device thread can block normal interpreter
+        # shutdown indefinitely
+        os._exit(1)
+
+
 def main():
     # Solver linear algebra needs true f32 matmuls; the TPU default (bf16
     # operands) destroys the Riccati/Cholesky conditioning.
     jax.config.update("jax_default_matmul_precision", "highest")
+    _device_watchdog()
     # Persistent compile cache (single-writer flock; the CppAD codegen-cache
     # role, task.info:13-15) — warm starts skip the 60-130 s XLA compile.
     from qm_door_tpu.utils.compile_cache import enable_persistent_cache
