@@ -62,7 +62,7 @@ class BatchedClosedLoop:
     def __init__(self, model: RobotModel, cfg, solver: SqpSolver,
                  sim_cfg: SimConfig = SimConfig(),
                  control_decim: int = 2, mpc_decim: int = 10,
-                 solve_chunk: int = 0):
+                 solve_chunk: int = 0, cycle_chunk: int = 0):
         self.model = model
         self.cfg = cfg
         self.solver = solver
@@ -76,6 +76,14 @@ class BatchedClosedLoop:
         # chunking the solve lifts the scenario ceiling (2048/4096 faulted
         # the device un-chunked on one v5e) at negligible throughput cost.
         self.solve_chunk = solve_chunk
+        # cycle_chunk > 0 additionally chunks the WHOLE cycle (solve +
+        # physics + WBC): on the tunneled v5e, batches > 1024 hit an opaque
+        # runtime 'TPU device error' even with the solve chunked and the
+        # compiled temp footprint at 5.6 GB (docs/PERF.md) — some op in the
+        # physics/WBC stage faults above 1024 scenarios, so no stage is
+        # allowed to see more than cycle_chunk at once. Requires
+        # B % cycle_chunk == 0.
+        self.cycle_chunk = cycle_chunk
         self._run = jax.jit(self._run_impl)
 
     def init_carry(self, stage0: StageData, q0_batch, v0_batch=None) -> RolloutCarry:
@@ -208,11 +216,37 @@ class BatchedClosedLoop:
         )
         return new_carry, (sim_out.q[:, 0:6], cost, viol, alive)
 
+    def _mpc_cycle_chunked(self, carry: RolloutCarry, stage_and_wrench):
+        """_mpc_cycle with every stage capped at cycle_chunk scenarios."""
+        stage, wrench = stage_and_wrench
+        B = carry.alive.shape[0]
+        c = self.cycle_chunk
+        G = B // c
+        assert G * c == B, (B, c)
+
+        def split(x):
+            return x.reshape(G, c, *x.shape[1:])
+
+        def unsplit(x):
+            return x.reshape(G * c, *x.shape[1:])
+
+        carry_r = jax.tree.map(split, carry)
+        wrench_r = split(wrench)
+        new_r, out_r = jax.lax.map(
+            lambda cw: self._mpc_cycle(cw[0], (stage, cw[1])),
+            (carry_r, wrench_r),
+        )
+        return jax.tree.map(unsplit, new_r), jax.tree.map(unsplit, out_r)
+
     def _run_impl(self, stages: StageData, carry: RolloutCarry, wrenches):
         """stages: StageData stacked along a leading (T, ...) cycle axis;
         wrenches: (T, B, 6) per-cycle per-scenario base disturbance."""
+        B = carry.alive.shape[0]
+        cycle = self._mpc_cycle
+        if self.cycle_chunk and self.cycle_chunk < B:
+            cycle = self._mpc_cycle_chunked
         carry, (base, cost, viol, alive) = jax.lax.scan(
-            self._mpc_cycle, carry, (stages, wrenches)
+            cycle, carry, (stages, wrenches)
         )
         return carry, RolloutLog(base_pose=base, mpc_cost=cost, mpc_viol=viol, alive=alive)
 

@@ -57,8 +57,9 @@ def main():
     # chunking the solve is ~free) — override with QM_ROLLOUT_SOLVE_CHUNK
     chunk_default = 1024 if b > 1024 else 0
     solve_chunk = int(os.environ.get("QM_ROLLOUT_SOLVE_CHUNK", chunk_default))
+    cycle_chunk = int(os.environ.get("QM_ROLLOUT_CYCLE_CHUNK", chunk_default))
     loop = BatchedClosedLoop(model, cfg, solver, sim_cfg, 2, mpc_decim,
-                             solve_chunk=solve_chunk)
+                             solve_chunk=solve_chunk, cycle_chunk=cycle_chunk)
     stages = stack_stages(model, cfg, sched, targets, 0.0, cycles,
                           mpc_decim * sim_cfg.dt, dtype)
 
@@ -92,7 +93,7 @@ def main():
         lowered = loop._run.lower(stages, carry, wrenches)
         mem = lowered.compile().memory_analysis()
         print(json.dumps({
-            "batch": b, "solve_chunk": solve_chunk,
+            "batch": b, "solve_chunk": solve_chunk, "cycle_chunk": cycle_chunk,
             "argument_mb": round(mem.argument_size_in_bytes / 2**20, 1),
             "output_mb": round(mem.output_size_in_bytes / 2**20, 1),
             "temp_mb": round(mem.temp_size_in_bytes / 2**20, 1),
