@@ -46,6 +46,29 @@ def main():
     opened = panel.min() <= runner.scenario.open_target
     print(f"door opened past {runner.scenario.open_target} rad: {opened}")
 
+    # door-opening dashboard: panel/lever trajectories + base pose
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t = np.asarray(log.t)
+    base = np.stack(log.base_pose)
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    axes[0].plot(t, panel, label="panel")
+    axes[0].plot(t, np.asarray(log.lever), label="lever")
+    axes[0].axhline(runner.scenario.open_target, ls="--", c="gray", lw=0.8)
+    axes[0].set_title("door joints (rad)")
+    axes[0].legend()
+    axes[1].plot(t, base[:, 0:3])
+    axes[1].set_title("base position")
+    axes[1].legend(["x", "y", "z"], fontsize=8)
+    axes[2].semilogy(np.asarray(log.mpc_t), np.maximum(log.mpc_viol, 1e-12))
+    axes[2].set_title("MPC constraint violation")
+    fig.tight_layout()
+    fig.savefig("door_demo.png", dpi=110)
+    print("wrote door_demo.png")
+
 
 if __name__ == "__main__":
     main()
