@@ -26,7 +26,7 @@ from ..ocp.problem import StageData
 from ..runtime.mrt import PolicyStore, evaluate_policy
 from ..runtime.safety import safety_check
 from ..solver.sqp import SqpSolver, sqp_iteration
-from ..wbc.wbc import WbcState, hierarchical_wbc
+from ..wbc.wbc import WbcState, hierarchical_wbc_batched
 from .sim import SimConfig, SimState, measured_rbd, sim_init, sim_step
 
 
@@ -118,16 +118,17 @@ class BatchedClosedLoop:
         flags = _flags_at(stage, t_local)
         rbd = jax.vmap(partial(measured_rbd, model))(sim)
 
-        def one(Xi, Ui, r, il):
+        def eval_one(Xi, Ui):
             policy = PolicyStore(times=stage.times, X=Xi, U=Ui)
-            x_opt, u_opt = evaluate_policy(policy, t_local)
-            cmd, new_state = hierarchical_wbc(
-                model, wbc_cfg, x_opt, u_opt, r, flags,
-                WbcState(input_last=il), ctrl_period, use_arm_init=False,
-            )
-            return cmd, new_state.input_last, x_opt, u_opt
+            return evaluate_policy(policy, t_local)
 
-        cmd, il_new, x_opt, u_opt = jax.vmap(one)(X, U, rbd, input_last)
+        x_opt, u_opt = jax.vmap(eval_one)(X, U)
+        flags_b = jnp.broadcast_to(flags, (X.shape[0],) + flags.shape)
+        cmd, new_state = hierarchical_wbc_batched(
+            model, wbc_cfg, x_opt, u_opt, rbd, flags_b,
+            WbcState(input_last=input_last), ctrl_period, use_arm_init=False,
+        )
+        il_new = new_state.input_last
         tau = cmd[:, 36:54]
         dtype = tau.dtype
         B = tau.shape[0]

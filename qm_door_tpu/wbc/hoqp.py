@@ -21,7 +21,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from .qp import solve_qp
+from .qp import solve_qp, solve_qp_batched
 
 
 class Task(NamedTuple):
@@ -145,4 +145,108 @@ def solve_hierarchy(tasks: Sequence[Task], qp_iters: int = 30, null_tol=None,
                 Z = null_projector(stacked_A)
             else:
                 Z = null_space_masked(stacked_A, rel_tol=null_tol)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Batch-major cascade (production batched path)
+# ---------------------------------------------------------------------------
+#
+# vmapping solve_hierarchy leaves XLA's batched cho_factor on the WBC
+# critical path 90+ times per tick (3 levels x 30 IP iterations) — the same
+# pathology the Riccati sweep had (solver/riccati.py) before its batch-major
+# rewrite. These variants carry an explicit leading batch axis so the inner
+# SPD solves route onto the lanes-last Pallas Cholesky (ops/pallas_chol).
+
+def _spd_solve_b(M, Y, shift: float, backend: str):
+    if backend == "pallas":
+        from ..ops.pallas_chol import spd_solve
+
+        k = M.shape[-1]
+        bt = 128 if k <= 64 else 64
+        return spd_solve(M, Y, shift=shift, batch_tile=bt)
+
+    def one(m_, y_):
+        k = m_.shape[0]
+        chol = jax.scipy.linalg.cho_factor(m_ + shift * jnp.eye(k, dtype=m_.dtype))
+        return jax.scipy.linalg.cho_solve(chol, y_)
+
+    return jax.vmap(one)(M, Y)
+
+
+def null_projector_batched(A, backend: str = "xla", ridge=None):
+    """Batched :func:`null_projector`: A (B,m,n) -> projector (B,n,n)."""
+    dtype = A.dtype
+    if ridge is None:
+        ridge = 1e-6 if dtype == jnp.float32 else 1e-10
+    B, m, n = A.shape
+    AT = jnp.swapaxes(A, -1, -2)
+    G = A @ AT
+    diag = jnp.diagonal(G, axis1=-2, axis2=-1)                # (B,m)
+    scale = jnp.maximum(jnp.max(diag, axis=-1), 1.0)          # (B,)
+    dead = (diag < 1e-12 * scale[:, None]).astype(dtype)      # (B,m)
+    eye_m = jnp.eye(m, dtype=dtype)
+    M = G + eye_m[None] * (dead * scale[:, None])[:, :, None] \
+        + (ridge * scale)[:, None, None] * eye_m[None]
+    pinvA = _spd_solve_b(M, A, 0.0, backend)
+    return jnp.eye(n, dtype=dtype)[None] - AT @ pinvA
+
+
+def solve_hierarchy_batched(tasks: Sequence[Task], qp_iters: int = 30,
+                            backend: str = "xla"):
+    """Batch-major :func:`solve_hierarchy`: every Task leaf carries a leading
+    batch axis (A (B,r,n), b (B,r), D (B,q,n), f (B,q)). Same cascade math;
+    the QP Newton systems and the null projectors run through the batched
+    SPD solver so the Pallas kernel composes. Returns x (B,n)."""
+    B, _, n = tasks[0].A.shape
+    dtype = tasks[0].A.dtype
+    x = jnp.zeros((B, n), dtype=dtype)
+    eye_n = jnp.eye(n, dtype=dtype)
+    Z = jnp.broadcast_to(eye_n, (B, n, n))
+    prev_ineq = []
+
+    for level, task in enumerate(tasks):
+        A, b, D, f = task
+        nv = D.shape[1]
+        AZ = A @ Z
+        AZT = jnp.swapaxes(AZ, -1, -2)
+        h_reg = 1e-5 if dtype == jnp.float32 else 1e-9
+        dead_reg = eye_n[None] - Z if level > 0 else jnp.zeros((B, n, n), dtype=dtype)
+        H_zz = AZT @ AZ + dead_reg + h_reg * eye_n[None]
+        c_z = jnp.einsum("bij,bj->bi", AZT, jnp.einsum("bij,bj->bi", A, x) - b)
+
+        H = jnp.zeros((B, n + nv, n + nv), dtype=dtype)
+        H = H.at[:, :n, :n].set(H_zz)
+        H = H.at[:, n:, n:].set(jnp.broadcast_to(jnp.eye(nv, dtype=dtype), (B, nv, nv)))
+        c = jnp.concatenate([c_z, jnp.zeros((B, nv), dtype=dtype)], axis=-1)
+
+        G_rows, h_rows = [], []
+        if nv > 0:
+            eye_v = jnp.broadcast_to(jnp.eye(nv, dtype=dtype), (B, nv, nv))
+            G_rows.append(jnp.concatenate([D @ Z, -eye_v], axis=-1))
+            h_rows.append(f - jnp.einsum("bij,bj->bi", D, x))
+            G_rows.append(jnp.concatenate(
+                [jnp.zeros((B, nv, n), dtype=dtype), -eye_v], axis=-1))
+            h_rows.append(jnp.zeros((B, nv), dtype=dtype))
+        for Dp, fp in prev_ineq:
+            G_rows.append(jnp.concatenate(
+                [Dp @ Z, jnp.zeros((B, Dp.shape[1], nv), dtype=dtype)], axis=-1))
+            h_rows.append(fp - jnp.einsum("bij,bj->bi", Dp, x))
+
+        if G_rows:
+            G = jnp.concatenate(G_rows, axis=1)
+            h = jnp.concatenate(h_rows, axis=-1)
+        else:
+            G = jnp.zeros((B, 1, n + nv), dtype=dtype)
+            h = jnp.ones((B, 1), dtype=dtype)
+
+        sol, _, _ = solve_qp_batched(H, c, G, h, iters=qp_iters, backend=backend)
+        z, v = sol[:, :n], sol[:, n:]
+        x = x + jnp.einsum("bij,bj->bi", Z, z)
+
+        if nv > 0:
+            prev_ineq.append((D, f + v))
+        if level < len(tasks) - 1:
+            stacked_A = jnp.concatenate([t.A for t in tasks[: level + 1]], axis=1)
+            Z = null_projector_batched(stacked_A, backend=backend)
     return x

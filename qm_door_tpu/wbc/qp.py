@@ -100,3 +100,103 @@ def solve_qp(H, c, G, h, iters: int = 30):
     z, s, lam = jax.lax.fori_loop(0, iters, body, (z, s, lam))
     # undo equilibration: primal z = D z~, dual lam = E lam~, slack s = s~/E
     return d * z, e * lam, s / jnp.maximum(e, tiny)
+
+
+def _spd_solve_batched(M, rhs, shift: float, backend: str):
+    """Batched Newton-system solve: M (B,k,k) SPD, rhs (B,k) -> (B,k).
+
+    ``backend``: "pallas" routes onto the lanes-last Cholesky kernel
+    (ops/pallas_chol) — the vmapped XLA cho_factor at (B,~90,90) is the
+    dominant WBC cost on TPU, same pathology the Riccati sweep hit
+    (solver/riccati.py). "xla" is the reference path (CPU default).
+    """
+    if backend == "pallas":
+        from ..ops.pallas_chol import spd_solve
+
+        k = M.shape[-1]
+        bt = 128 if k <= 64 else 64  # VMEM: (k,k,bt) tile must stay < ~4 MB
+        return spd_solve(M, rhs[..., None], shift=shift, batch_tile=bt)[..., 0]
+
+    def one(m_, r_):
+        k = m_.shape[0]
+        chol = jax.scipy.linalg.cho_factor(m_ + shift * jnp.eye(k, dtype=m_.dtype))
+        return jax.scipy.linalg.cho_solve(chol, r_)
+
+    return jax.vmap(one)(M, rhs)
+
+
+@partial(jax.jit, static_argnames=("iters", "backend"))
+def solve_qp_batched(H, c, G, h, iters: int = 30, backend: str = "xla"):
+    """Batch-major :func:`solve_qp`: H (B,n,n), c (B,n), G (B,m,n), h (B,m).
+
+    Identical iteration math to the per-problem solver (same equilibration,
+    guards, and freeze logic), with the inner Newton solve routed through
+    :func:`_spd_solve_batched` so the Pallas kernel can sit on the hot path
+    (a kernel has no vmap batching rule; batch-major is how it composes).
+    Returns (z, lam, s) each with leading batch dim.
+    """
+    B, n, _ = H.shape
+    m = G.shape[1]
+    dtype = H.dtype
+    f32 = dtype == jnp.float32
+    mu_tol = 1e-5 if f32 else 1e-10
+    tiny = 1e-25 if f32 else 1e-300
+    w_max = 1e6 if f32 else 1e12
+    jitter = 1e-6 if f32 else 1e-11
+
+    dH = jnp.diagonal(H, axis1=-2, axis2=-1)
+    d = 1.0 / jnp.sqrt(jnp.maximum(dH, 1e-8))
+    H = H * d[:, :, None] * d[:, None, :]
+    c = c * d
+    Gd = G * d[:, None, :]
+    row_norm = jnp.linalg.norm(Gd, axis=-1)
+    e = 1.0 / jnp.maximum(row_norm, 1.0)
+    G = Gd * e[..., None]
+    h = h * e
+    GT = jnp.swapaxes(G, -1, -2)
+
+    z = jnp.zeros((B, n), dtype=dtype)
+    s = jnp.ones((B, m), dtype=dtype)
+    lam = jnp.ones((B, m), dtype=dtype)
+
+    def body(_, carry):
+        z, s, lam = carry
+        mu = jnp.sum(lam * s, axis=-1) / m                    # (B,)
+        proceed = mu > mu_tol
+        target = 0.1 * mu                                     # (B,)
+
+        r_d = jnp.einsum("bij,bj->bi", H, z) + c + jnp.einsum("bji,bj->bi", G, lam)
+        r_p = jnp.einsum("bij,bj->bi", G, z) + s - h
+
+        s_safe = jnp.maximum(s, tiny)
+        w = jnp.clip(lam / s_safe, 0.0, w_max)                # (B,m)
+        M = H + GT @ (w[..., None] * G)
+        rhs = -r_d - jnp.einsum(
+            "bji,bj->bi", G, target[:, None] / s_safe - lam + w * r_p
+        )
+        dz = _spd_solve_batched(M, rhs, jitter, backend)
+        ds = -r_p - jnp.einsum("bij,bj->bi", G, dz)
+        dlam = target[:, None] / s_safe - lam - w * ds
+
+        tau = 0.995
+
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+            return jnp.minimum(1.0, tau * jnp.min(ratio, axis=-1))
+
+        alpha = jnp.minimum(max_step(s, ds), max_step(lam, dlam))  # (B,)
+        ok = (
+            proceed
+            & jnp.isfinite(dz).all(axis=-1)
+            & jnp.isfinite(ds).all(axis=-1)
+            & jnp.isfinite(dlam).all(axis=-1)
+        )
+        okn = ok[:, None]
+        a = alpha[:, None]
+        z = jnp.where(okn, z + a * dz, z)
+        s = jnp.where(okn, s + a * ds, s)
+        lam = jnp.where(okn, lam + a * dlam, lam)
+        return z, s, lam
+
+    z, s, lam = jax.lax.fori_loop(0, iters, body, (z, s, lam))
+    return d * z, e * lam, s / jnp.maximum(e, tiny)

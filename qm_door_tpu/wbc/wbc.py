@@ -21,7 +21,7 @@ from flax import struct
 
 from ..models.model import RobotModel
 from . import tasks as T
-from .hoqp import solve_hierarchy
+from .hoqp import solve_hierarchy, solve_hierarchy_batched
 
 
 @struct.dataclass
@@ -98,22 +98,14 @@ def _wbc_common(model, wbc_cfg, state_desired, input_desired, rbd_measured,
     return data, task0
 
 
-def hierarchical_wbc(model: RobotModel, wbc_cfg, state_desired, input_desired,
-                     rbd_measured, contact_flags, wbc_state: WbcState, period,
-                     use_arm_init: bool | jnp.ndarray = False, qp_iters=None,
-                     arm_locked: bool = False):
-    """Combined-system WBC tick. ``use_arm_init``: time < arm_init_time.
+def combined_tasks(model: RobotModel, wbc_cfg, state_desired, input_desired,
+                   rbd_measured, contact_flags, wbc_state: WbcState, period,
+                   use_arm_init: bool | jnp.ndarray = False,
+                   arm_locked: bool = False):
+    """Build the combined-system priority stack. Returns (data, [T0,T1,T2]).
 
-    ``arm_locked`` (static; quad-only variant, BASELINE config #1): the EE
-    tracking rows of T1 are replaced by the arm-joint PD hold — same 6 rows,
-    so the hierarchy keeps its fixed shape — while base height/angular and
-    swing tasks stay in place (holding the WHOLE T1 on the arm-init stack
-    forever measured a trot that settles ~10 deg tilted: it drops the base
-    orientation task).
-
-    Returns (cmd (54,), new_wbc_state).
-    """
-    qp_iters = wbc_cfg.qp_iterations if qp_iters is None else qp_iters
+    Pure task formulation (no QP solve) so batched callers can vmap it and
+    hand the stacked tasks to :func:`..hoqp.solve_hierarchy_batched`."""
     data, task0 = _wbc_common(
         model, wbc_cfg, state_desired, input_desired, rbd_measured,
         contact_flags, wbc_state, period,
@@ -163,10 +155,71 @@ def hierarchical_wbc(model: RobotModel, wbc_cfg, state_desired, input_desired,
         T.contact_force_task(data),
         T.base_linear_motion_task(data, wbc_cfg.base_linear_kp, wbc_cfg.base_linear_kd),
     )
+    return data, [task0, task1, task2]
 
-    x_opt = solve_hierarchy([task0, task1, task2], qp_iters=qp_iters)
+
+def hierarchical_wbc(model: RobotModel, wbc_cfg, state_desired, input_desired,
+                     rbd_measured, contact_flags, wbc_state: WbcState, period,
+                     use_arm_init: bool | jnp.ndarray = False, qp_iters=None,
+                     arm_locked: bool = False):
+    """Combined-system WBC tick. ``use_arm_init``: time < arm_init_time.
+
+    ``arm_locked`` (static; quad-only variant, BASELINE config #1): the EE
+    tracking rows of T1 are replaced by the arm-joint PD hold — same 6 rows,
+    so the hierarchy keeps its fixed shape — while base height/angular and
+    swing tasks stay in place (holding the WHOLE T1 on the arm-init stack
+    forever measured a trot that settles ~10 deg tilted: it drops the base
+    orientation task).
+
+    Returns (cmd (54,), new_wbc_state).
+    """
+    qp_iters = wbc_cfg.qp_iterations if qp_iters is None else qp_iters
+    data, tasks = combined_tasks(
+        model, wbc_cfg, state_desired, input_desired, rbd_measured,
+        contact_flags, wbc_state, period, use_arm_init=use_arm_init,
+        arm_locked=arm_locked,
+    )
+    x_opt = solve_hierarchy(tasks, qp_iters=qp_iters)
     tau = T.compute_torque(data, x_opt)
     cmd = jnp.concatenate([x_opt, tau])
+    return cmd, WbcState(input_last=input_desired)
+
+
+def hierarchical_wbc_batched(model: RobotModel, wbc_cfg, state_desired,
+                             input_desired, rbd_measured, contact_flags,
+                             wbc_state: WbcState, period,
+                             use_arm_init: bool | jnp.ndarray = False,
+                             qp_iters=None, arm_locked: bool = False,
+                             backend: str | None = None):
+    """Batch-major combined-system WBC tick: every per-robot argument
+    (state_desired (B,30), input_desired (B,nu), rbd_measured (B,55),
+    contact_flags (B,4), wbc_state.input_last (B,nu)) carries a leading
+    batch axis. Task formulation is vmapped (elementwise-heavy, fuses well);
+    the QP cascade runs batch-major through the Pallas SPD kernel on TPU —
+    the vmapped cascade left 90+ batched XLA cho_factor calls on the 500 Hz
+    tick's critical path (docs/PERF.md, WBC table).
+
+    Returns (cmd (B,54), new_wbc_state).
+    """
+    import jax
+
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    qp_iters = wbc_cfg.qp_iterations if qp_iters is None else qp_iters
+
+    def build(x_d, u_d, rbd, flags, il):
+        return combined_tasks(
+            model, wbc_cfg, x_d, u_d, rbd, flags, WbcState(input_last=il),
+            period, use_arm_init=use_arm_init, arm_locked=arm_locked,
+        )
+
+    data, tasks = jax.vmap(build)(
+        state_desired, input_desired, rbd_measured, contact_flags,
+        wbc_state.input_last,
+    )
+    x_opt = solve_hierarchy_batched(tasks, qp_iters=qp_iters, backend=backend)
+    tau = jax.vmap(T.compute_torque)(data, x_opt)
+    cmd = jnp.concatenate([x_opt, tau], axis=-1)
     return cmd, WbcState(input_last=input_desired)
 
 

@@ -1,0 +1,108 @@
+"""Batch-major WBC path (wbc.qp.solve_qp_batched / wbc.hoqp.solve_hierarchy_batched)
+must match the per-robot reference path exactly.
+
+The batch-major formulation exists so the lanes-last Pallas SPD kernel
+(ops/pallas_chol) can sit inside the QP interior-point loop — the production
+closed-loop path (sim/batched_rollout.py) routes every WBC tick through it.
+On CPU the backend defaults to "xla", so these tests check the reshaping /
+broadcasting algebra; kernel-vs-XLA agreement is covered by test_pallas_ops.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qm_door_tpu.config import default_config
+from qm_door_tpu.models import centroidal
+from qm_door_tpu.wbc.qp import solve_qp, solve_qp_batched
+from qm_door_tpu.wbc.hoqp import (
+    Task, null_projector, null_projector_batched,
+    solve_hierarchy, solve_hierarchy_batched,
+)
+from qm_door_tpu.wbc.wbc import WbcState, hierarchical_wbc, hierarchical_wbc_batched
+
+
+def test_solve_qp_batched_matches_single(rng):
+    B, n, m = 6, 10, 14
+    Hs = []
+    for _ in range(B):
+        L = rng.normal(size=(n, n))
+        Hs.append(L @ L.T + n * np.eye(n))
+    H = jnp.asarray(np.stack(Hs))
+    c = jnp.asarray(rng.normal(size=(B, n)))
+    G = jnp.asarray(rng.normal(size=(B, m, n)))
+    h = jnp.asarray(rng.uniform(0.5, 2.0, size=(B, m)))
+    z_ref = jnp.stack([solve_qp(H[i], c[i], G[i], h[i])[0] for i in range(B)])
+    z_b, lam_b, s_b = solve_qp_batched(H, c, G, h)
+    np.testing.assert_allclose(np.asarray(z_b), np.asarray(z_ref), atol=1e-10)
+    assert z_b.shape == (B, n) and lam_b.shape == (B, m)
+
+
+def test_null_projector_batched_matches_single(rng):
+    B, m, n = 4, 5, 12
+    A = jnp.asarray(rng.normal(size=(B, m, n)))
+    A = A.at[:, 2].set(0.0)  # a masked row in every element
+    P_ref = jnp.stack([null_projector(A[i]) for i in range(B)])
+    P_b = null_projector_batched(A)
+    np.testing.assert_allclose(np.asarray(P_b), np.asarray(P_ref), atol=1e-12)
+
+
+def test_solve_hierarchy_batched_matches_single(rng):
+    B, n = 5, 10
+    levels = [(4, 6), (3, 0), (2, 0)]
+    tasks = []
+    for r, q in levels:
+        A = rng.normal(size=(B, r, n))
+        b = rng.normal(size=(B, r))
+        D = rng.normal(size=(B, q, n))
+        f = rng.uniform(0.5, 2.0, size=(B, q))
+        tasks.append(Task(*(jnp.asarray(a) for a in (A, b, D, f))))
+    x_ref = jnp.stack([
+        solve_hierarchy([Task(t.A[i], t.b[i], t.D[i], t.f[i]) for t in tasks])
+        for i in range(B)
+    ])
+    x_b = solve_hierarchy_batched(tasks)
+    scale = float(jnp.abs(x_ref).max())
+    np.testing.assert_allclose(
+        np.asarray(x_b), np.asarray(x_ref), atol=2e-6 * max(scale, 1.0))
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.float32])
+def test_hierarchical_wbc_batched_matches_vmap(rng, dtype):
+    """Full WBC tick on the real robot stack: batch-major == vmapped."""
+    from qm_door_tpu.models import aliengo_z1
+
+    model = aliengo_z1(dtype=dtype)
+    cfg = default_config()
+    B = 4
+    x0 = jnp.asarray(cfg.initial_state(), dtype=dtype)
+    xs = jnp.asarray(
+        np.asarray(x0)[None] + rng.normal(size=(B, 30)) * 0.01, dtype=dtype)
+    flags = jnp.asarray([1.0, 0.0, 0.0, 1.0], dtype=dtype)
+    u_des = centroidal.weight_compensating_input(model, flags)
+    us = jnp.tile(u_des[None], (B, 1))
+    rbds = jnp.stack([
+        centroidal.rbd_from_generalized(
+            model, centroidal.pinocchio_q(xs[i]), jnp.zeros(24, dtype=dtype))
+        for i in range(B)
+    ])
+    flagss = jnp.tile(flags[None], (B, 1))
+
+    def one(x, u, r, f):
+        cmd, _ = hierarchical_wbc(
+            model, cfg.wbc, x, u, r, f, WbcState.init(dtype=dtype), 0.002,
+            use_arm_init=False,
+        )
+        return cmd
+
+    cmd_ref = jax.vmap(one)(xs, us, rbds, flagss)
+    state = WbcState(input_last=jnp.zeros((B, 30), dtype=dtype))
+    cmd_b, _ = hierarchical_wbc_batched(
+        model, cfg.wbc, xs, us, rbds, flagss, state, 0.002,
+        use_arm_init=False, backend="xla",
+    )
+    assert bool(jnp.isfinite(cmd_b).all())
+    tol = 5e-3 if dtype == jnp.float32 else 1e-6
+    scale = np.maximum(np.abs(np.asarray(cmd_ref)), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(cmd_b) / scale, np.asarray(cmd_ref) / scale, atol=tol)

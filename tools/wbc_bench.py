@@ -3,7 +3,9 @@
 metric: qpOASES solves 3 dense QPs in ~1-2 ms per 500 Hz tick on CPU;
 here B ticks solve in parallel).
 
-Usage: QM_WBC_BATCH=512 python tools/wbc_bench.py
+Usage: QM_WBC_BATCH=512 QM_WBC_MODE=batched python tools/wbc_bench.py
+  QM_WBC_MODE: "batched" (batch-major cascade on the Pallas SPD kernel,
+  production path) or "vmap" (per-robot cascade vmapped, reference path).
 """
 import json
 import os
@@ -20,10 +22,11 @@ import numpy as np
 def main():
     b = int(os.environ.get("QM_WBC_BATCH", "512"))
     reps = int(os.environ.get("QM_WBC_REPS", "20"))
+    mode = os.environ.get("QM_WBC_MODE", "batched")
 
     from qm_door_tpu.config import default_config
     from qm_door_tpu.models import aliengo_z1, centroidal
-    from qm_door_tpu.wbc.wbc import WbcState, hierarchical_wbc
+    from qm_door_tpu.wbc.wbc import WbcState, hierarchical_wbc, hierarchical_wbc_batched
 
     dtype = jnp.float32
     model = aliengo_z1(dtype=dtype)
@@ -40,16 +43,26 @@ def main():
     rbds = jnp.tile(rbd[None], (b, 1))
     flagss = jnp.tile(flags[None], (b, 1))
 
-    @jax.jit
-    def batched_tick(xs, us, rbds, flagss):
-        def one(x, u, r, f):
-            cmd, _ = hierarchical_wbc(
-                model, cfg.wbc, x, u, r, f, WbcState.init(dtype=dtype), 0.002,
+    if mode == "batched":
+        @jax.jit
+        def batched_tick(xs, us, rbds, flagss):
+            state = WbcState(input_last=jnp.zeros((xs.shape[0], 30), dtype=dtype))
+            cmd, _ = hierarchical_wbc_batched(
+                model, cfg.wbc, xs, us, rbds, flagss, state, 0.002,
                 use_arm_init=False,
             )
             return cmd
+    else:
+        @jax.jit
+        def batched_tick(xs, us, rbds, flagss):
+            def one(x, u, r, f):
+                cmd, _ = hierarchical_wbc(
+                    model, cfg.wbc, x, u, r, f, WbcState.init(dtype=dtype), 0.002,
+                    use_arm_init=False,
+                )
+                return cmd
 
-        return jax.vmap(one)(xs, us, rbds, flagss)
+            return jax.vmap(one)(xs, us, rbds, flagss)
 
     t0 = time.time()
     out = batched_tick(xs, us, rbds, flagss)
@@ -69,6 +82,7 @@ def main():
         "unit": "ticks/s",
         "per_tick_us": round(1e6 * elapsed / (b * reps), 2),
         "batch": b,
+        "mode": mode,
         "finite": finite,
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
