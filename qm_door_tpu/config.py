@@ -191,6 +191,11 @@ class ForceTrackingSettings:
     torque_limit: float = 15.0
     limit_mu: float = 0.1
     limit_delta: float = 1e-3
+    # Hierarchy level of the WBC wrench-tracking equality (wbc/force.py):
+    # 0 pins W at the top level with the EoM (an external wrench is not a
+    # decision the lower levels may spend); 2 keeps the legacy slot next to
+    # the contact-force task for A/B against the round-2 tuned demo.
+    wrench_priority: int = 0
 
 
 @dataclass

@@ -94,6 +94,7 @@ def controller_tick(
     force_tracking: bool = False,
     grasp=0.0,
     arm_locked=False,
+    wrench_priority: int = 0,
 ) -> TickResult:
     """One jittable control tick (QMController::update body).
 
@@ -109,7 +110,7 @@ def controller_tick(
 
         wbc_cmd, wbc_state = hierarchical_wbc_ft(
             model, wbc_cfg, x_opt, u_opt, rbd_measured, contact_flags,
-            grasp, wbc_state, period,
+            grasp, wbc_state, period, wrench_priority=wrench_priority,
         )
         tau = wbc_cmd[42:60]
     else:
@@ -182,7 +183,8 @@ class QmController:
         self._tick = jax.jit(
             partial(controller_tick, model, separated=separated,
                     force_tracking=force_tracking,
-                    arm_locked=getattr(cfg.model, "arm_locked", False))
+                    arm_locked=getattr(cfg.model, "arm_locked", False),
+                    wrench_priority=cfg.force_tracking.wrench_priority)
         )
         self.yaw_last = 0.0
 

@@ -77,11 +77,27 @@ def compute_torque_ft(d: T.WbcData, x_opt):
 
 def hierarchical_wbc_ft(model: RobotModel, wbc_cfg, state_desired,
                         input_desired, rbd_measured, contact_flags, grasp,
-                        wbc_state: WbcState, period, qp_iters=None):
+                        wbc_state: WbcState, period, qp_iters=None,
+                        wrench_priority: int = 0):
     """Force-tracking combined-system WBC tick.
 
     input_desired (36); grasp: scalar gate for the wrench tracking.
     Returns (cmd (60,) = [qdd; F; W; tau], new_wbc_state).
+
+    ``wrench_priority`` (static): hierarchy level of the wrench-tracking
+    equality W = grasp * W_mpc.
+
+    - 0 (default): the wrench is pinned at the TOP level, alongside the EoM.
+      W is an *external* force the world applies — it is not a degree of
+      freedom the optimizer may spend. With the wrench at a lower level the
+      EoM/motion levels satisfy themselves with a phantom wrench the
+      environment never delivers (measured on the door demo: press/push MPC
+      violations 1e-1 with the phantom wrench vs 1e-10 pinned, and roughly
+      half the commanded drive actually transmitted to the panel).
+    - 2: legacy slot next to the contact-force task (the pattern of
+      qm_wbc/src/WbcBase.cpp:566-578 where foot-force tracking lives), kept
+      for A/B because the pinned variant changes the closed-loop dynamics
+      the door scenario constants were originally tuned against.
     """
     qp_iters = wbc_cfg.qp_iterations if qp_iters is None else qp_iters
     data = T.build_wbc_data(
@@ -90,12 +106,15 @@ def hierarchical_wbc_ft(model: RobotModel, wbc_cfg, state_desired,
     )
     dtype = data.M.dtype
 
-    task0 = T.concat_tasks(
+    task0_parts = [
         floating_base_eom_task_ft(data),
         torque_limits_task_ft(data),
         pad_cols(T.no_contact_motion_task(data)),
         pad_cols(T.friction_cone_task(data, wbc_cfg.friction_coefficient)),
-    )
+    ]
+    if wrench_priority == 0:
+        task0_parts.append(wrench_tracking_task(data, grasp))
+    task0 = T.concat_tasks(*task0_parts)
     task1 = T.concat_tasks(
         pad_cols(T.base_height_motion_task(data, wbc_cfg.base_height_kp, wbc_cfg.base_height_kd)),
         pad_cols(T.base_angular_motion_task(data, wbc_cfg.base_angular_kp, wbc_cfg.base_angular_kd)),
@@ -114,11 +133,12 @@ def hierarchical_wbc_ft(model: RobotModel, wbc_cfg, state_desired,
             wbc_cfg.swing_task_weight,
         ),
     )
-    task2 = T.concat_tasks(
-        pad_cols(T.contact_force_task(data)),
-        wrench_tracking_task(data, grasp),
-        pad_cols(T.base_linear_motion_task(data, wbc_cfg.base_linear_kp, wbc_cfg.base_linear_kd)),
-    )
+    task2_parts = [pad_cols(T.contact_force_task(data))]
+    if wrench_priority != 0:
+        task2_parts.append(wrench_tracking_task(data, grasp))
+    task2_parts.append(
+        pad_cols(T.base_linear_motion_task(data, wbc_cfg.base_linear_kp, wbc_cfg.base_linear_kd)))
+    task2 = T.concat_tasks(*task2_parts)
 
     x_opt = solve_hierarchy([task0, task1, task2], qp_iters=qp_iters)
     tau = compute_torque_ft(data, x_opt)

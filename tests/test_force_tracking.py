@@ -160,3 +160,60 @@ def test_ft_sqp_tracks_wrench(model, ft_setup):
     # optimizer keeps the freedom to trade force against state cost)
     err = np.abs(on - W_ref[None, :]).max()
     assert err < 0.1 * np.abs(W_ref).max(), (on.mean(axis=0), W_ref)
+
+
+def _spawn_rbd(model, cfg):
+    from qm_door_tpu.models import kinematics
+
+    x0 = jnp.asarray(cfg.initial_state(), dtype=jnp.float64)
+    rbd = np.zeros(55)
+    rbd[3:6] = np.asarray(x0[6:9])
+    rbd[6:24] = np.asarray(x0[12:30])
+    _, p_ee = kinematics.ee_pose(model, x0[6:30])
+    rbd[48:51] = np.asarray(p_ee)
+    rbd[54] = 1.0  # identity quat (w last)
+    return x0, jnp.asarray(rbd)
+
+
+def test_wbc_wrench_priority_pins_external_wrench(model):
+    """The wrench-tracking equality at priority 0 (wbc/force.py default) pins
+    W to the commanded grasp wrench: an external force is a fact of the world,
+    not a decision variable the motion levels may spend. The legacy level-2
+    slot measurably lets the top levels absorb a phantom wrench (the round-2
+    door-demo diagnosis: press/push MPC violations 1e-1 vs 1e-10 pinned)."""
+    from qm_door_tpu.wbc.force import hierarchical_wbc_ft
+    from qm_door_tpu.wbc.wbc import WbcGains, WbcState
+
+    cfg = default_config()
+    gains = WbcGains.from_settings(cfg.wbc, dtype=jnp.float64)
+    x0, rbd = _spawn_rbd(model, cfg)
+    wref = jnp.array([20.0, 0.0, -30.0, 0.0, 0.0, 0.0])
+    u = jnp.zeros(36, dtype=jnp.float64)
+    u = u.at[:12].set(centroidal.weight_compensating_input(model, jnp.ones(4))[:12])
+    u = u.at[30:36].set(wref)
+    st = WbcState.init(jnp.float64, nu=36)
+
+    cmd0, _ = hierarchical_wbc_ft(
+        model, gains, x0, u, rbd, jnp.ones(4), 1.0, st, 0.002, wrench_priority=0)
+    cmd2, _ = hierarchical_wbc_ft(
+        model, gains, x0, u, rbd, jnp.ones(4), 1.0, st, 0.002, wrench_priority=2)
+
+    err0 = float(jnp.abs(cmd0[36:42] - wref).max())
+    err2 = float(jnp.abs(cmd2[36:42] - wref).max())
+    assert err0 < 1e-5, err0          # pinned: W == grasp * W_mpc
+    assert err2 > 1.0, err2           # legacy slot leaves a phantom wrench
+
+    # off-grasp the pinned wrench is exactly zero
+    cmd_off, _ = hierarchical_wbc_ft(
+        model, gains, x0, u, rbd, jnp.ones(4), 0.0, st, 0.002, wrench_priority=0)
+    assert float(jnp.abs(cmd_off[36:42]).max()) < 1e-6
+
+    # and the EoM stays satisfied with the pinned wrench: the floating-base
+    # rows' residual with the returned (qdd, F, W) is numerically zero
+    from qm_door_tpu.wbc import tasks as T
+    from qm_door_tpu.wbc.force import floating_base_eom_task_ft
+
+    data = T.build_wbc_data(model, x0, u, rbd, jnp.ones(4), st.input_last, 0.002)
+    eom = floating_base_eom_task_ft(data)
+    res = eom.A @ cmd0[:42] - eom.b
+    assert float(jnp.abs(res).max()) < 1e-6, res
