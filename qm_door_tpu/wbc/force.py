@@ -11,7 +11,10 @@ ON the robot at the EE frame (rows of arm_J order [linear; angular]):
 Tasks that ignore the wrench are the 36-var formulations padded with 6 zero
 columns; the EoM / torque-limit / torque-recovery pieces gain the J_ee^T W
 terms; a wrench-tracking equality (W = W_mpc while grasping, W = 0 when not)
-joins the contact-force level of the hierarchy.
+is placed by ``wrench_priority``: level 0 (default) pins it alongside the
+EoM — W is an external force the world applies, not a decision variable the
+optimizer may spend — while level 2 keeps the legacy slot next to the
+contact-force task for A/B (see :func:`hierarchical_wbc_ft`).
 """
 from __future__ import annotations
 
@@ -99,6 +102,10 @@ def hierarchical_wbc_ft(model: RobotModel, wbc_cfg, state_desired,
       for A/B because the pinned variant changes the closed-loop dynamics
       the door scenario constants were originally tuned against.
     """
+    if wrench_priority not in (0, 2):
+        raise ValueError(
+            f"wrench_priority must be 0 (pinned with the EoM) or 2 (legacy "
+            f"contact-force slot), got {wrench_priority!r}")
     qp_iters = wbc_cfg.qp_iterations if qp_iters is None else qp_iters
     data = T.build_wbc_data(
         model, state_desired, input_desired, rbd_measured, contact_flags,

@@ -98,6 +98,27 @@ def solve_qp(H, c, G, h, iters: int = 30):
         return z, s, lam
 
     z, s, lam = jax.lax.fori_loop(0, iters, body, (z, s, lam))
+
+    # Active-set polish (f32 only): the interior point freezes at mu_tol,
+    # leaving an O(mu_tol/curvature) primal bias that lands different-rounding
+    # runs (vmapped vs batch-major) on visibly different minimizers in flat
+    # directions. Snap the primal to the KKT point of the identified active
+    # set (penalty form): inactive rows drop out, active rows get a stiff
+    # quadratic penalty. Binary classification (lam > s in scaled space)
+    # makes the polished point deterministic given the active set. At f64 the
+    # PDIP converges to mu ~1e-10 on its own and the 1e12-penalty solve would
+    # only add factorization noise, so the polish is skipped there.
+    if f32:
+        act = (lam > s).astype(dtype) * 1e6
+        Mp = H + G.T @ (act[:, None] * G)
+        rhs_p = -c + G.T @ (act * h)
+        chol_p = jax.scipy.linalg.cho_factor(Mp + jitter * jnp.eye(n, dtype=dtype))
+        z_p = jax.scipy.linalg.cho_solve(chol_p, rhs_p)
+        # keep the polish only if finite and not violating feasibility
+        viol = jnp.max(G @ z_p - h, initial=-jnp.inf)
+        ok_p = jnp.isfinite(z_p).all() & (viol < 1e-4)
+        z = jnp.where(ok_p, z_p, z)
+
     # undo equilibration: primal z = D z~, dual lam = E lam~, slack s = s~/E
     return d * z, e * lam, s / jnp.maximum(e, tiny)
 
@@ -199,4 +220,15 @@ def solve_qp_batched(H, c, G, h, iters: int = 30, backend: str = "xla"):
         return z, s, lam
 
     z, s, lam = jax.lax.fori_loop(0, iters, body, (z, s, lam))
+
+    # active-set polish, f32 only (see solve_qp for rationale)
+    if f32:
+        act = (lam > s).astype(dtype) * 1e6
+        Mp = H + GT @ (act[..., None] * G)
+        rhs_p = -c + jnp.einsum("bji,bj->bi", G, act * h)
+        z_p = _spd_solve_batched(Mp, rhs_p, jitter, backend)
+        viol = jnp.max(jnp.einsum("bij,bj->bi", G, z_p) - h, axis=-1)
+        ok_p = jnp.isfinite(z_p).all(axis=-1) & (viol < 1e-4)
+        z = jnp.where(ok_p[:, None], z_p, z)
+
     return d * z, e * lam, s / jnp.maximum(e, tiny)

@@ -104,12 +104,16 @@ def test_hierarchical_wbc_batched_matches_vmap(rng, dtype):
     assert bool(jnp.isfinite(cmd_b).all())
     # f64 proves the batch-major algebra is bit-faithful to the vmapped path.
     # At f32 the two PDIP cascades accumulate different rounding through the
-    # 3-level null-space chain and land on slightly different minimizers of
-    # the same (near-degenerate) objective — a few percent on individual
-    # components is conditioning, not a reshaping bug — so the f32 case
-    # asserts elementwise closeness at a realistic tolerance plus PHYSICAL
-    # equivalence: both solutions satisfy the level-0 floating-base EoM.
-    tol = 0.08 if dtype == jnp.float32 else 1e-6
+    # 3-level null-space chain, which amplifies in the flat (h_reg-pinned)
+    # swing-joint-acceleration directions: measured between-path deviation is
+    # 0.024 relative after the round-3 projector-equilibration + active-set
+    # polish fixes, while EITHER path's distance to the f64 truth in those
+    # same directions is ~0.5 (the f32 vs f64 h_reg values select different
+    # minimum-norm solutions of the same degenerate objective). So the f32
+    # case asserts elementwise closeness at the measured-parity level plus
+    # PHYSICAL equivalence: both solutions satisfy the level-0 floating-base
+    # EoM to ~2e-3 (was 0.23 before the projector conditioning fix).
+    tol = 0.04 if dtype == jnp.float32 else 1e-6
     scale = np.maximum(np.abs(np.asarray(cmd_ref)), 1.0)
     np.testing.assert_allclose(
         np.asarray(cmd_b) / scale, np.asarray(cmd_ref) / scale, atol=tol)
@@ -123,4 +127,4 @@ def test_hierarchical_wbc_batched_matches_vmap(rng, dtype):
             eom = T.floating_base_eom_task(data)
             for cmd in (cmd_b[i], cmd_ref[i]):
                 res = eom.A @ cmd[:36] - eom.b
-                assert float(jnp.abs(res).max()) < 5e-2, res
+                assert float(jnp.abs(res).max()) < 1e-2, res
