@@ -109,28 +109,35 @@ def _gain_solve(Quu, rhs, backend: str):
 def riccati_backward_batched(lq: ProjectedLq, backend: str = "xla",
                              unroll: int = 1):
     """Backward sweep over (B, N, ...) LQ data. Returns K (B,N,nu,nx),
-    kff (B,N,nu)."""
+    kff (B,N,nu).
+
+    The per-step contractions run as broadcast multiply+sum (spatial.fmm):
+    a (B,30,30) dot_general pads the 30-lane axis to 128 on the MXU, and the
+    scan body is bandwidth-bound on those small matrices (docs/PERF.md
+    finding #1 — same as the FK chain and the projection)."""
+    from ..models.spatial import fmm, fmv
+
     nx = lq.A.shape[-1]
 
     def step(carry, inp):
         S, s = carry
         A, AT, B, BT, d, lx, lu, lxx, luu, lux = inp
-        Sd_s = jnp.einsum("bij,bj->bi", S, d) + s
-        Qx = lx + jnp.einsum("bij,bj->bi", AT, Sd_s)
-        Qu = lu + jnp.einsum("bij,bj->bi", BT, Sd_s)
-        SA = S @ A
-        SB = S @ B
-        Qxx = lxx + AT @ SA
-        Quu = luu + BT @ SB
-        Qux = lux + BT @ SA
+        Sd_s = fmv(S, d) + s
+        Qx = lx + fmv(AT, Sd_s)
+        Qu = lu + fmv(BT, Sd_s)
+        SA = fmm(S, A)
+        SB = fmm(S, B)
+        Qxx = lxx + fmm(AT, SA)
+        Quu = luu + fmm(BT, SB)
+        Qux = lux + fmm(BT, SA)
         Quu = 0.5 * (Quu + jnp.swapaxes(Quu, -1, -2))
         rhs = jnp.concatenate([Qux, Qu[..., None]], axis=-1)
         sol = -_gain_solve(Quu, rhs, backend)
         K, kff = sol[..., :nx], sol[..., nx]
         QuxT = jnp.swapaxes(Qux, -1, -2)
-        S_new = Qxx + QuxT @ K
+        S_new = Qxx + fmm(QuxT, K)
         S_new = 0.5 * (S_new + jnp.swapaxes(S_new, -1, -2))
-        s_new = Qx + jnp.einsum("bij,bj->bi", QuxT, kff)
+        s_new = Qx + fmv(QuxT, kff)
         return (S_new, s_new), (K, kff)
 
     AT = jnp.swapaxes(lq.A, -1, -2)
@@ -146,18 +153,37 @@ def riccati_backward_batched(lq: ProjectedLq, backend: str = "xla",
 
 
 def riccati_forward_batched(lq: ProjectedLq, K, kff, dx0, unroll: int = 1):
-    """Forward rollout over (B, N, ...). Returns (dX (B,N+1,nx), dU (B,N,nu_full))."""
+    """Forward rollout over (B, N, ...). Returns (dX (B,N+1,nx), dU (B,N,nu_full)).
+
+    Input recovery runs in the dense form (du = p + Pu u_red + Px dx) or the
+    structured form when the projection carried blocks (transcription.
+    _apply_projection_structured): force/wrench dims are elementwise gates,
+    only the 18 joint-velocity dims need matmuls."""
+    from ..models.spatial import fmv
+
+    structured = lq.P is not None
+
+    def recover(dx, u_red, p, Pu, Px, P, Px_v, fm, g):
+        if not structured:
+            return p + fmv(Pu, u_red) + fmv(Px, dx)
+        du_F = fm * u_red[..., 0:12]
+        du_v = fmv(P, u_red[..., 12:30]) + fmv(Px_v, dx)
+        parts = [du_F, du_v]
+        if g is not None:
+            parts.append(g * u_red[..., 30:36])
+        return p + jnp.concatenate(parts, axis=-1)
 
     def step(dx, inp):
-        A, B, d, Kk, kk, p, Pu, Px = inp
-        u_red = kk + jnp.einsum("bij,bj->bi", Kk, dx)
-        du = p + jnp.einsum("bij,bj->bi", Pu, u_red) + jnp.einsum("bij,bj->bi", Px, dx)
-        dx_next = jnp.einsum("bij,bj->bi", A, dx) + jnp.einsum("bij,bj->bi", B, u_red) + d
+        A, B, d, Kk, kk, p, Pu, Px, P, Px_v, fm, g = inp
+        u_red = kk + fmv(Kk, dx)
+        du = recover(dx, u_red, p, Pu, Px, P, Px_v, fm, g)
+        dx_next = fmv(A, dx) + fmv(B, u_red) + d
         return dx_next, (dx, du)
 
-    inputs = jax.tree.map(
-        lambda x: jnp.swapaxes(x, 0, 1),
-        (lq.A, lq.B, lq.d, K, kff, lq.p, lq.Pu, lq.Px),
+    swap = lambda x: None if x is None else jnp.swapaxes(x, 0, 1)
+    inputs = tuple(
+        swap(x) for x in (lq.A, lq.B, lq.d, K, kff, lq.p, lq.Pu, lq.Px,
+                          lq.P, lq.Px_v, lq.force_mask, lq.grasp_gate)
     )
     dxN, (dX, dU) = jax.lax.scan(step, dx0, inputs, unroll=unroll)
     dX = jnp.concatenate([jnp.swapaxes(dX, 0, 1), dxN[:, None]], axis=1)

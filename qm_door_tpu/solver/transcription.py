@@ -91,8 +91,16 @@ class ProjectedLq:
     lxx_f: jnp.ndarray
     # input recovery: du = p + Pu u_red + Px dx
     p: jnp.ndarray     # (N, 30)
-    Pu: jnp.ndarray    # (N, 30, 26)
-    Px: jnp.ndarray    # (N, 30, 30)
+    Pu: jnp.ndarray    # (N, 30, 26) — dense form (per-scenario path); None
+    Px: jnp.ndarray    # (N, 30, 30)   when the structured form is carried
+    # structured recovery (batched path): Pu = blkdiag(diag(fm), P[, diag(g)]),
+    # Px = rows 12:30 <- Px_v. Carrying the blocks instead of materializing
+    # the (B,N,nu,nu) dense maps removes ~0.5 GB of HBM traffic per batched
+    # solve at (512, 67) and lets the cost substitution run blockwise.
+    P: jnp.ndarray | None = None        # (..., 18, 18)
+    Px_v: jnp.ndarray | None = None     # (..., 18, 30)
+    force_mask: jnp.ndarray | None = None  # (..., 12)
+    grasp_gate: jnp.ndarray | None = None  # (...,) force-tracking only
 
 
 def _node_linearization_reference(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_next):
@@ -468,6 +476,7 @@ def project_ocp_batched(lq: LqProblem, flags, U, shift=1e-5,
     ``arm_locked`` (static, nu=30 only): quad-only variant — pins the
     arm-velocity inputs to zero (see projection.project_node_chol).
     """
+    from ..models.spatial import fmm
     from ..ops.pallas_chol import spd_solve
 
     dtype = lq.g0.dtype
@@ -489,9 +498,11 @@ def project_ocp_batched(lq: LqProblem, flags, U, shift=1e-5,
         Gv_f = lq.Gv
         p_lock_v = jnp.zeros((B, N, NV_JOINTS), dtype=dtype)
         g0_eff = lq.g0
+    GvT = jnp.swapaxes(Gv_f, -1, -2)                             # (B,N,18,12)
     # M = Gv Gv^T + diag(1 - active): the diagonal built by broadcast, not
-    # scatter
-    M = Gv_f @ jnp.swapaxes(Gv_f, -1, -2) + (1.0 - active)[..., :, None] * eye12
+    # scatter; fmm keeps the contraction inside the elementwise fusion
+    # (a (B,N,12,18)x(B,N,18,12) dot_general pads to (8,128) MXU tiles)
+    M = fmm(Gv_f, GvT) + (1.0 - active)[..., :, None] * eye12
 
     rhs = jnp.concatenate([g0_eff[..., None], lq.Gx, Gv_f], axis=-1)  # (B,N,12,49)
     if backend == "pallas":
@@ -509,48 +520,127 @@ def project_ocp_batched(lq: LqProblem, flags, U, shift=1e-5,
     Minv_Gx = W[..., 1:1 + NX]                                   # (B,N,12,30)
     pinvT = W[..., 1 + NX:]                                      # (B,N,12,18) = M^-1 Gv_f
 
-    GvT = jnp.swapaxes(Gv_f, -1, -2)                             # (B,N,18,12)
-    du_part = p_lock_v - jnp.einsum("...ia,...i->...a", Gv_f, Minv_g0)  # (B,N,18)
-    Px_v = -jnp.einsum("...ia,...ix->...ax", Gv_f, Minv_Gx)      # (B,N,18,30)
-    P = col_mask[:, None] * jnp.eye(NV_JOINTS, dtype=dtype) - GvT @ pinvT  # (B,N,18,18)
+    du_part = p_lock_v - jnp.sum(Gv_f * Minv_g0[..., None], axis=-2)  # (B,N,18)
+    Px_v = -fmm(GvT, Minv_Gx)                                    # (B,N,18,30)
+    P = col_mask[:, None] * jnp.eye(NV_JOINTS, dtype=dtype) - fmm(GvT, pinvT)
 
     force_mask = jnp.repeat(flags, 3, axis=-1)                   # (B,N,12)
     F_bar = U[..., 0:12]
     p_F = -(1.0 - force_mask) * F_bar
 
-    zeros_bn = lambda r, c: jnp.zeros((B, N, r, c), dtype=dtype)
-    eye = lambda n: jnp.eye(n, dtype=dtype)
-    diag_fm = force_mask[..., :, None] * eye(12)                 # (B,N,12,12)
-
     if nu == 36:
         g = grasp[..., None]                                     # (B,N,1)
         W_bar = U[..., 30:36]
         p = jnp.concatenate([p_F, du_part, -(1.0 - g) * W_bar], axis=-1)
-        diag_g = g[..., None] * eye(6)
-        Pu = jnp.concatenate([
-            jnp.concatenate([diag_fm, zeros_bn(12, 18), zeros_bn(12, 6)], -1),
-            jnp.concatenate([zeros_bn(18, 12), P, zeros_bn(18, 6)], -1),
-            jnp.concatenate([zeros_bn(6, 12), zeros_bn(6, 18), diag_g], -1),
-        ], axis=-2)
-        Px = jnp.concatenate([zeros_bn(12, NX), Px_v, zeros_bn(6, NX)], axis=-2)
-        reg = jnp.concatenate([
-            jnp.concatenate([(1.0 - force_mask)[..., :, None] * eye(12),
-                             zeros_bn(12, 18), zeros_bn(12, 6)], -1),
-            jnp.concatenate([zeros_bn(18, 12), eye(18) - P, zeros_bn(18, 6)], -1),
-            jnp.concatenate([zeros_bn(6, 12), zeros_bn(6, 18),
-                             (1.0 - g[..., None]) * eye(6)], -1),
-        ], axis=-2) + shift * eye(36)
     else:
+        g = None
         p = jnp.concatenate([p_F, du_part], axis=-1)
-        Pu = jnp.concatenate([
-            jnp.concatenate([diag_fm, zeros_bn(12, 18)], -1),
-            jnp.concatenate([zeros_bn(18, 12), P], -1),
-        ], axis=-2)
-        Px = jnp.concatenate([zeros_bn(12, NX), Px_v], axis=-2)
-        reg = jnp.concatenate([
-            jnp.concatenate([(1.0 - force_mask)[..., :, None] * eye(12),
-                             zeros_bn(12, 18)], -1),
-            jnp.concatenate([zeros_bn(18, 12), eye(18) - P], -1),
-        ], axis=-2) + shift * eye(nu)
 
-    return _apply_projection(lq, p, Pu, Px, reg)
+    return _apply_projection_structured(
+        lq, p, P, Px_v, force_mask, grasp=g, shift=shift)
+
+
+def _apply_projection_structured(lq: LqProblem, p, P, Px_v, fm, grasp=None,
+                                 shift=1e-5) -> ProjectedLq:
+    """Blockwise du = p + Pu u_red + Px dx substitution for the batched path.
+
+    Exploits Pu = blkdiag(diag(fm), P[, diag(g)]) and Px = [0; Px_v; 0]:
+    the force (and wrench) blocks are elementwise column/row scalings and
+    only the 18-dim joint-velocity block carries dense matmuls — vs the
+    dense _apply_projection's (nu, nu) einsums PLUS materializing the
+    (B, N, nu, nu) Pu/Px/reg maps (~0.5 GB of HBM traffic per batched solve
+    at (512, 67) that this form never touches). Exactly the same math;
+    tests/test_batched_sqp.py pins equivalence against vmap(sqp_iteration).
+
+    p (B,N,nu); P (B,N,18,18); Px_v (B,N,18,30); fm (B,N,12);
+    grasp (B,N,1) for the 36-input force-tracking problem.
+    """
+    from ..models.spatial import fmm, fmv
+
+    dtype = lq.A.dtype
+    nu = lq.B.shape[-1]
+    PT = jnp.swapaxes(P, -1, -2)
+    Px_vT = jnp.swapaxes(Px_v, -1, -2)
+
+    B_F = lq.B[..., :, 0:12]
+    B_v = lq.B[..., :, 12:30]
+    A_bar = lq.A + fmm(B_v, Px_v)
+    d_bar = lq.d + fmv(lq.B, p)
+
+    lu_p = lq.lu + fmv(lq.luu, p)                                # lu + luu p
+    lu_p_v = lu_p[..., 12:30]
+    lux_v = lq.lux[..., 12:30, :]
+    luu_Fv = lq.luu[..., 0:12, 12:30]
+    luu_vv = lq.luu[..., 12:30, 12:30]
+
+    lx_bar = (
+        lq.lx
+        + fmv(Px_vT, lu_p_v)                                     # Px^T (lu + luu p)
+        + fmv(jnp.swapaxes(lq.lux, -1, -2), p)                   # lux^T p
+    )
+    PxT_lux = fmm(Px_vT, lux_v)                                  # Px^T lux
+    lxx_bar = (
+        lq.lxx
+        + PxT_lux
+        + jnp.swapaxes(PxT_lux, -1, -2)
+        + fmm(Px_vT, fmm(luu_vv, Px_v))
+    )
+
+    # luu_bar / lux_bar / lu_bar / B_bar blockwise
+    fm_col = fm[..., None, :]    # scale columns indexed by F
+    fm_row = fm[..., :, None]    # scale rows indexed by F
+    eye18 = jnp.eye(NV_JOINTS, dtype=dtype)
+    eye12 = jnp.eye(12, dtype=dtype)
+
+    luu_FF = lq.luu[..., 0:12, 0:12]
+    FF_bar = fm_row * luu_FF * fm_col + (1.0 - fm[..., :, None]) * eye12
+    Fv_bar = fm_row * fmm(luu_Fv, P)
+    vv_bar = fmm(PT, fmm(luu_vv, P)) + (eye18 - P)
+    lux_F_bar = fm_row * (lq.lux[..., 0:12, :] + fmm(luu_Fv, Px_v))
+    lux_v_bar = fmm(PT, lux_v + fmm(luu_vv, Px_v))
+    lu_bar_F = fm * lu_p[..., 0:12]
+    lu_bar_v = fmv(PT, lu_p_v)
+    B_bar_F = B_F * fm_col
+    B_bar_v = fmm(B_v, P)
+
+    if nu == 36:
+        gc = grasp[..., None]                                    # (B,N,1,1)
+        luu_FW = lq.luu[..., 0:12, 30:36]
+        luu_vW = lq.luu[..., 12:30, 30:36]
+        luu_WW = lq.luu[..., 30:36, 30:36]
+        eye6 = jnp.eye(6, dtype=dtype)
+        FW_bar = fm_row * luu_FW * gc
+        vW_bar = fmm(PT, luu_vW) * gc
+        WW_bar = gc * luu_WW * gc + (1.0 - gc) * eye6
+        luu_bar = jnp.concatenate([
+            jnp.concatenate([FF_bar, Fv_bar, FW_bar], -1),
+            jnp.concatenate([jnp.swapaxes(Fv_bar, -1, -2), vv_bar, vW_bar], -1),
+            jnp.concatenate([jnp.swapaxes(FW_bar, -1, -2),
+                             jnp.swapaxes(vW_bar, -1, -2), WW_bar], -1),
+        ], axis=-2) + shift * jnp.eye(36, dtype=dtype)
+        lux_W_bar = grasp[..., None] * (
+            lq.lux[..., 30:36, :]
+            + fmm(jnp.swapaxes(luu_vW, -1, -2), Px_v)
+        )
+        lux_bar = jnp.concatenate([lux_F_bar, lux_v_bar, lux_W_bar], axis=-2)
+        lu_bar = jnp.concatenate(
+            [lu_bar_F, lu_bar_v, grasp * lu_p[..., 30:36]], axis=-1)
+        B_bar = jnp.concatenate(
+            [B_bar_F, B_bar_v, lq.B[..., :, 30:36] * gc], axis=-1)
+    else:
+        luu_bar = jnp.concatenate([
+            jnp.concatenate([FF_bar, Fv_bar], -1),
+            jnp.concatenate([jnp.swapaxes(Fv_bar, -1, -2), vv_bar], -1),
+        ], axis=-2) + shift * jnp.eye(nu, dtype=dtype)
+        lux_bar = jnp.concatenate([lux_F_bar, lux_v_bar], axis=-2)
+        lu_bar = jnp.concatenate([lu_bar_F, lu_bar_v], axis=-1)
+        B_bar = jnp.concatenate([B_bar_F, B_bar_v], axis=-1)
+
+    return ProjectedLq(
+        A=A_bar, B=B_bar, d=d_bar,
+        lx=lx_bar, lu=lu_bar, lxx=lxx_bar, luu=luu_bar, lux=lux_bar,
+        lx_f=lq.lx_f, lxx_f=lq.lxx_f,
+        p=p, Pu=None, Px=None,
+        P=P, Px_v=Px_v, force_mask=fm,
+        grasp_gate=None if grasp is None else grasp,
+    )
