@@ -84,6 +84,19 @@ class DoorScenario(NamedTuple):
     t_settle: float = 0.4
     t_retract: float = 1.0
     t_release_ramp: float = 0.0  # instant: see class docstring
+    # capture-point offset: the robot crosses the release with ~0.2 m/s of
+    # forward CoM velocity (the push lean keeps feeding it); freezing the
+    # post-release base reference AT the release pose makes the controller
+    # fight that momentum in place and it tips within ~0.4 s (measured, the
+    # round-3 base trace). Instead the done-phase xy reference leads the
+    # release pose by capture_gain * v_com_xy (the linear-inverted-pendulum
+    # capture offset, ~sqrt(z/g) s), so the trot inserted at release steps
+    # TO the momentum instead of against it; decays with the retract ramp.
+    capture_gain: float = 0.35
+    capture_max: float = 0.25   # m, offset clip
+    # trot -> stance stand-down delay after the retract completes (the trot
+    # inserted at release keeps stepping this long past settle+retract)
+    t_stand_down: float = 0.5
     # stance push: base reference lean toward the handle displacement
     # (fraction of the handle xy travel); the reach requirement — 0.15
     # measured the arm saturating before the open target
@@ -98,6 +111,12 @@ class DoorScenario(NamedTuple):
     # is the reach optimum in BOTH directions: placing the handle 0.18 m
     # closer measured the base backing up 0.29 m to fold the arm.
     handle_ahead: float = 0.06
+    # step through the release: the let-go leaves the robot with forward
+    # momentum the stance feet cannot absorb (measured: a slow forward
+    # "controlled fall" at near-zero MPC violation ~1.4 s post-release);
+    # inserting a trot at the release instant lets it catch that momentum
+    # with a step, then stand down once settled
+    trot_on_release: bool = True
     # --- alternative terminal behaviors (kept for experimentation; both
     # measured worse than release-with-momentum on the default door) ---
     # hold_open: push to open_target and keep gripping forever
@@ -331,8 +350,11 @@ class DoorOpeningRunner:
             c, sn = np.cos(yaw_ref), np.sin(yaw_ref)
             Rz2 = np.array([[c, -sn], [sn, c]])
             rel = self._ee_home[0:2] - np.asarray(self._x_nom)[6:8]
+            cap_ee = np.clip(self.scenario.capture_gain * self._x_done[0:2],
+                             -self.scenario.capture_max,
+                             self.scenario.capture_max)
             p_ret = np.concatenate([
-                self._x_done[6:8] + Rz2 @ rel, [self._ee_home[2]]
+                self._x_done[6:8] + cap_ee + Rz2 @ rel, [self._ee_home[2]]
             ])
             p_t = (1.0 - s) * self._p_ee_done + s * p_ret
             quat = spatial.quat_mul(
@@ -345,8 +367,13 @@ class DoorOpeningRunner:
             # the measured release pose to upright-nominal over the retract
             # (both step variants measured unstable: holding the crouched,
             # tilted release pose verbatim tips slowly; snapping to nominal
-            # at release dives forward while walking momentum is still live)
-            x[6:8] = (1.0 - s) * self._x_done[6:8] + s * x[6:8]
+            # at release dives forward while walking momentum is still live);
+            # the capture offset (see DoorScenario.capture_gain) leads the
+            # frozen pose by the release CoM velocity so the recovery step
+            # lands under the momentum
+            cap = np.clip(sc.capture_gain * self._x_done[0:2],
+                          -sc.capture_max, sc.capture_max)
+            x[6:8] = (1.0 - s) * (self._x_done[6:8] + cap) + s * x[6:8]
             x[8] = (1.0 - s) * self._x_done[8] + s * x[8]
             x[9] = yaw_ref
             x[10:12] = (1.0 - s) * self._x_done[10:12]
@@ -525,8 +552,13 @@ class DoorOpeningRunner:
                 self._x_done = np.asarray(
                     centroidal.centroidal_state_from_rbd(model, rbd_est))
                 self._p_ee_done = np.asarray(rbd_est[48:51])
+                if sc.trot_on_release and not self._walking:
+                    # step through the release: catch the forward momentum
+                    self._walking = True
+                    self.schedule.insert_template(
+                        GAIT_LIBRARY[sc.walk_gait], t, t + 60.0)
             if (self._walking and self._x_done is not None
-                    and t >= self._t_done + sc.t_settle + sc.t_retract + 0.5):
+                    and t >= self._t_done + sc.t_settle + sc.t_retract + sc.t_stand_down):
                 # keep trotting through the release + retract (the robot
                 # carries walking momentum at release; an instant all-stance
                 # schedule plants flags on airborne feet and the slow tip-over
