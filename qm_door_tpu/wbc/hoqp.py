@@ -82,7 +82,13 @@ def null_projector(A, ridge=None):
     # normalize only genuinely live rows: rows that are cancellation residue
     # (norm ~1e-12 of the largest row, e.g. zero-force rows in flight phase)
     # must NOT be blown up to unit norm — that injects garbage constraints
-    # and can make the Gram matrix indefinite at f32
+    # and can make the Gram matrix indefinite at f32.
+    # CAVEAT (intentional): the gate is RELATIVE to the largest row, so a
+    # real constraint row weighted below row_tol * max_row_norm (e.g. a
+    # future 1e-8-weighted task stacked against unit-norm EoM rows) would be
+    # silently dropped from the projector. At f32 such rows are numerically
+    # indistinguishable from cancellation noise anyway; tasks that must
+    # survive belong at a higher hierarchy level, not at a tiny weight.
     rn = jnp.linalg.norm(A, axis=1)
     row_tol = 1e-6 if f32 else 1e-12
     live_r = rn > row_tol * jnp.maximum(jnp.max(rn), 1.0)

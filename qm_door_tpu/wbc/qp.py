@@ -114,10 +114,17 @@ def solve_qp(H, c, G, h, iters: int = 30):
         rhs_p = -c + G.T @ (act * h)
         chol_p = jax.scipy.linalg.cho_factor(Mp + jitter * jnp.eye(n, dtype=dtype))
         z_p = jax.scipy.linalg.cho_solve(chol_p, rhs_p)
-        # keep the polish only if finite and not violating feasibility
-        viol = jnp.max(G @ z_p - h, initial=-jnp.inf)
+        # keep the polish only if finite and not violating feasibility —
+        # measured in ORIGINAL (pre-equilibration) units: scaled rows were
+        # divided by their norm, so the scaled residual understates the true
+        # violation of heavily-weighted rows by up to that norm.
+        viol = jnp.max((G @ z_p - h) / jnp.maximum(e, tiny), initial=-jnp.inf)
         ok_p = jnp.isfinite(z_p).all() & (viol < 1e-4)
         z = jnp.where(ok_p, z_p, z)
+        # keep the returned slack consistent with the (possibly) polished
+        # primal; lam stays the pre-polish PDIP multiplier (approximate —
+        # callers in hoqp.py use only z, the duals are informational).
+        s = jnp.where(ok_p, h - G @ z_p, s)
 
     # undo equilibration: primal z = D z~, dual lam = E lam~, slack s = s~/E
     return d * z, e * lam, s / jnp.maximum(e, tiny)
@@ -227,8 +234,11 @@ def solve_qp_batched(H, c, G, h, iters: int = 30, backend: str = "xla"):
         Mp = H + GT @ (act[..., None] * G)
         rhs_p = -c + jnp.einsum("bji,bj->bi", G, act * h)
         z_p = _spd_solve_batched(Mp, rhs_p, jitter, backend)
-        viol = jnp.max(jnp.einsum("bij,bj->bi", G, z_p) - h, axis=-1)
+        # feasibility gate in ORIGINAL units (divide the scaled residual by e)
+        resid = jnp.einsum("bij,bj->bi", G, z_p) - h
+        viol = jnp.max(resid / jnp.maximum(e, tiny), axis=-1)
         ok_p = jnp.isfinite(z_p).all(axis=-1) & (viol < 1e-4)
         z = jnp.where(ok_p[:, None], z_p, z)
+        s = jnp.where(ok_p[:, None], -resid, s)  # slack consistent with z
 
     return d * z, e * lam, s / jnp.maximum(e, tiny)
