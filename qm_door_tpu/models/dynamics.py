@@ -106,6 +106,19 @@ def _subtree_table(joint_parent: tuple):
     return table
 
 
+@lru_cache(maxsize=None)
+def _reverse_topological(joint_parent: tuple):
+    """Body indices 1..nb-1 ordered leaves-first (child before parent).
+
+    URDF joint order gives parent_body < child_body, so descending index is
+    a valid reverse-topological order; assert the invariant statically.
+    """
+    nj = len(joint_parent)
+    for i in range(nj):
+        assert joint_parent[i] < 1 + i, "joint order must place parents first"
+    return tuple(range(nj, 0, -1))
+
+
 @jax.jit
 def centroidal_momentum_matrix(model: RobotModel, q):
     """6x24 CMM A(q): h = A v, h = [linear momentum; angular momentum about
@@ -137,12 +150,27 @@ def cmm_from_fk(model: RobotModel, q, axes, origins, R, p):
     )
     s_body = m[:, None] * coms                                      # (19,3)
 
-    table = jnp.asarray(
-        _subtree_table(tuple(model.joint_parent)), dtype=q.dtype
-    )  # (18,19)
-    M_sub = table @ m                                               # (18,)
-    s_sub = spatial.fmm(table, s_body)                              # (18,3)
-    J_sub = jnp.sum(table[:, :, None, None] * I_origin[None], axis=1)  # (18,3,3)
+    # Subtree aggregates by suffix accumulation along the tree (leaves-first,
+    # statically unrolled). The one-liner this replaces —
+    #   jnp.sum(table[:, :, None, None] * I_origin[None], axis=1)
+    # — materializes an (18, 19, 3, 3) outer product PER AD TANGENT in the
+    # solver's 24-tangent linearization (~1/3 of the linearize stage's FLOPs
+    # and a multi-GB HBM intermediate at production batch); the chain sum is
+    # O(n_bodies) adds with the same result.
+    parents = tuple(model.joint_parent)
+    nj = len(parents)
+    sub_m = [m[b] for b in range(nj + 1)]
+    sub_s = [s_body[b] for b in range(nj + 1)]
+    sub_J = [I_origin[b] for b in range(nj + 1)]
+    for b in _reverse_topological(parents):
+        pb = parents[b - 1]  # parent body of body b (joint b-1 connects them)
+        if pb != 0:          # joint aggregates never need the base body's row
+            sub_m[pb] = sub_m[pb] + sub_m[b]
+            sub_s[pb] = sub_s[pb] + sub_s[b]
+            sub_J[pb] = sub_J[pb] + sub_J[b]
+    M_sub = jnp.stack([sub_m[1 + j] for j in range(nj)])            # (18,)
+    s_sub = jnp.stack([sub_s[1 + j] for j in range(nj)])            # (18,3)
+    J_sub = jnp.stack([sub_J[1 + j] for j in range(nj)])            # (18,3,3)
 
     # joint columns about the origin
     lever = s_sub - M_sub[:, None] * origins                        # (18,3)

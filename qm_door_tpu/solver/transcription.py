@@ -215,22 +215,35 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
     dtype = x.dtype
     nu = u.shape[-1]  # 30 nominal / 36 force-tracking
     h_bar, q_bar = x[0:6], x[6:30]
+    xyz_bar = q_bar[0:3]
     u_bar = u
     F_bar = u[0:12]
     flags = stage.contact_flags[k]
     zref = stage.z_vel_ref[k]
 
-    def stage1(q_):
-        x_ = jnp.concatenate([h_bar, q_])
+    # 21 AD tangents (euler + joints): every stage-1 output is invariant to a
+    # base TRANSLATION except the EE position error, whose xyz columns are
+    # exactly I3 (p_ee = base_xyz + R(.)(...)). The centroidal flow map and
+    # the foot-velocity constraint only see relative geometry (p_ci - com,
+    # p_f - o_j, CMM about the com), so their xyz columns are analytic zeros —
+    # the AD graph would only reproduce them as f32 cancellation noise.
+    def stage1(q_ej):
+        x_ = jnp.concatenate([h_bar, xyz_bar, q_ej])
         f1 = centroidal.flow_map_any(model, x_, u_bar)
         g = cons.velocity_constraint(model, x_, u_bar, flags, zref)
         e = _ee_error(model, ocp, x_, stage.ee_pos_ref[k], stage.ee_quat_ref[k])
         return jnp.concatenate([f1, g, e])
 
-    out1, jvp1 = jax.linearize(stage1, q_bar)
-    J1 = jax.vmap(jvp1)(jnp.eye(24, dtype=dtype)).T   # (48, 24)
+    out1, jvp1 = jax.linearize(stage1, q_bar[3:24])
+    J1 = jax.vmap(jvp1)(jnp.eye(21, dtype=dtype)).T   # (48, 21)
     f1, g0, e = out1[:30], out1[30:42], out1[42:48]
-    dq_f1, dq_g, Je_q = J1[:30], J1[30:42], J1[42:48]
+    z30_3 = jnp.zeros((30, 3), dtype=dtype)
+    z12_3 = jnp.zeros((12, 3), dtype=dtype)
+    e_xyz = jnp.concatenate(
+        [jnp.eye(3, dtype=dtype), jnp.zeros((3, 3), dtype=dtype)], axis=0)
+    dq_f1 = jnp.concatenate([z30_3, J1[:30]], axis=1)     # (30, 24)
+    dq_g = jnp.concatenate([z12_3, J1[30:42]], axis=1)    # (12, 24)
+    Je_q = jnp.concatenate([e_xyz, J1[42:48]], axis=1)    # (6, 24)
 
     dvb_dh, dvb_dvj = _momentum_velocity_coeffs(model, q_bar, dtype)
     z6_6 = jnp.zeros((6, 6), dtype=dtype)
@@ -264,11 +277,15 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
         df2_dx2 = df1_dx
         df2_du = df1_du
     else:
-        def stage2(q_):
-            return centroidal.flow_map_any(model, jnp.concatenate([h2, q_]), u_bar)
+        xyz2 = q2[0:3]
 
-        f2, jvp2 = jax.linearize(stage2, q2)
-        J2q = jax.vmap(jvp2)(jnp.eye(24, dtype=dtype)).T          # (30, 24)
+        def stage2(q_ej):
+            return centroidal.flow_map_any(
+                model, jnp.concatenate([h2, xyz2, q_ej]), u_bar)
+
+        f2, jvp2 = jax.linearize(stage2, q2[3:24])
+        J2q_ej = jax.vmap(jvp2)(jnp.eye(21, dtype=dtype)).T       # (30, 21)
+        J2q = jnp.concatenate([z30_3, J2q_ej], axis=1)            # (30, 24)
         dvb2_dh, dvb2_dvj = _momentum_velocity_coeffs(model, q2, dtype)
         df2_dh = jnp.concatenate([z6_6, dvb2_dh, z18_6], axis=0)
         df2_dvj = jnp.concatenate(
