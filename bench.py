@@ -88,6 +88,11 @@ def main():
     # 1 bounds the early-exit ceiling for perf triage).
     cfg.sqp.linesearch_steps = int(os.environ.get("QM_BENCH_LS", "4"))
     cfg.sqp.riccati_unroll = int(os.environ.get("QM_BENCH_UNROLL", "1"))
+    # bf16 AD tangent sweep is the TPU serving default (exact f32 defects,
+    # bf16 Jacobians; see config.SqpSettings.lin_tangents): 4509 -> 5875
+    # solves/s at batch 512 with mean violation IMPROVED 1.55e-5 -> 8.1e-7.
+    # QM_BENCH_TANGENTS=f32 reverts. Watch mean_violation for regressions.
+    cfg.sqp.lin_tangents = os.environ.get("QM_BENCH_TANGENTS", "bf16")
     backend = os.environ.get("QM_BENCH_BACKEND", "auto")
     ocp = make_ocp_config(model, cfg, dtype=dtype)
     solver = SqpSolver(model, ocp, cfg)

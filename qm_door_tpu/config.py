@@ -53,6 +53,13 @@ class SqpSettings:
     # error O(dt^2) — measured equivalent downstream) and saves the second
     # 24-tangent AD sweep; "rk2" = exact OCS2 SensitivityIntegrator behavior
     sensitivity: str = "frozen"
+    # dtype of the AD tangent sweep in the linearization: "bf16" halves the
+    # HBM traffic of the dominant stage (the tangent intermediates are ~99%
+    # of linearize bytes, docs/PERF.md roofline). Defects, constraint
+    # values, and the Gv projection rows stay f32 either way, so the SQP
+    # fixed point is unchanged — a bf16 Jacobian only perturbs the
+    # convergence PATH (inexact Newton). "f32" = exact tangents.
+    lin_tangents: str = "f32"
     # unroll factor of the batch-major Riccati scans (riccati.py). In-graph
     # the scan carries no per-iteration dispatch cost (that ~0.4 ms shows up
     # only for host-dispatched loops); unroll=1 measured fastest end-to-end

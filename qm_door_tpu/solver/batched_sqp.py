@@ -78,7 +78,8 @@ def batched_sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData,
     lq = jax.vmap(
         lambda s, Xk, Uk: linearize_ocp(
             model, ocp, s, dt, Xk, Uk, node_chunk=getattr(settings, "lin_chunk", 0),
-            sensitivity=getattr(settings, "sensitivity", "frozen")),
+            sensitivity=getattr(settings, "sensitivity", "frozen"),
+            tangents=getattr(settings, "lin_tangents", "f32")),
         in_axes=(stage_axis, 0, 0),
     )(stage, X, U)
 
@@ -87,12 +88,15 @@ def batched_sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData,
         flags = jnp.broadcast_to(flags, (B, N, 4))
 
     dx0 = x_init - X[:, 0]
-    if backend in ("bm_pallas", "bm_xla"):
+    if backend in ("bm_pallas", "bm_xla", "bm_fused"):
         # Batch-major: ONE (B*N)-batched SPD solve in the projection, and a
         # batch-major Riccati scan (Pallas gain solve on TPU, unrolled to
         # amortize the per-iteration dispatch overhead — both measured,
         # tools/microbench_ops.py).
-        sub = "pallas" if backend == "bm_pallas" else "xla"
+        # bm_fused keeps the Pallas projection but swaps the Riccati sweep
+        # for the single-kernel VMEM-resident version (ops/pallas_riccati)
+        sub = "pallas" if backend in ("bm_pallas", "bm_fused") else "xla"
+        ric = "fused" if backend == "bm_fused" else sub
         grasp = None
         if U.shape[-1] == 36:
             grasp = stage.grasp_flags[..., :N]
@@ -102,7 +106,7 @@ def batched_sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData,
             lq, flags, U, shift=settings.hessian_shift, grasp=grasp,
             backend=sub, arm_locked=ocp.arm_locked)
         dX, dU, _, _ = lqr_solve_batched(
-            plq, dx0, backend=sub,
+            plq, dx0, backend=ric,
             unroll=getattr(settings, "riccati_unroll", 8))
     elif backend == "pallas":
         from ..ops.pallas_lq import solve_lq_batched

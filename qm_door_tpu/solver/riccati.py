@@ -192,7 +192,17 @@ def riccati_forward_batched(lq: ProjectedLq, K, kff, dx0, unroll: int = 1):
 
 def lqr_solve_batched(lq: ProjectedLq, dx0, backend: str = "xla",
                       unroll: int = 1):
-    """Batch-major backward + forward. lq leaves carry (B, N, ...); dx0 (B, nx)."""
-    K, kff = riccati_backward_batched(lq, backend=backend, unroll=unroll)
+    """Batch-major backward + forward. lq leaves carry (B, N, ...); dx0 (B, nx).
+
+    backend "fused" runs the whole backward sweep as ONE Pallas kernel with
+    the carry resident in VMEM (ops/pallas_riccati) — the scan formulation
+    measured 15% of speed-of-light (docs/PERF.md roofline), occupancy-bound
+    on its small per-step kernels."""
+    if backend == "fused":
+        from ..ops.pallas_riccati import riccati_backward_fused_lq
+
+        K, kff = riccati_backward_fused_lq(lq)
+    else:
+        K, kff = riccati_backward_batched(lq, backend=backend, unroll=unroll)
     dX, dU = riccati_forward_batched(lq, K, kff, dx0, unroll=unroll)
     return dX, dU, K, kff

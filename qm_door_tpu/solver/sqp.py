@@ -128,6 +128,7 @@ def sqp_iteration(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, setti
     lq = linearize_ocp(
         model, ocp, stage, dt, X, U, node_chunk=getattr(settings, "lin_chunk", 0),
         sensitivity=getattr(settings, "sensitivity", "frozen"),
+        tangents=getattr(settings, "lin_tangents", "f32"),
     )
     plq = project_ocp(
         lq, stage, U, shift=settings.hessian_shift, method=settings.projection,
@@ -186,6 +187,7 @@ class _SqpSettingsStatic(NamedTuple):
     lin_chunk: int = 0
     riccati_unroll: int = 1  # batch-major sweeps only (riccati.py)
     sensitivity: str = "frozen"  # RK2 discrete-sensitivity mode (config.py)
+    lin_tangents: str = "f32"  # AD tangent dtype, "f32" | "bf16" (config.py)
 
 
 def _settings_static(cfg_sqp) -> "_SqpSettingsStatic":
@@ -205,6 +207,7 @@ def _settings_static(cfg_sqp) -> "_SqpSettingsStatic":
         lin_chunk=getattr(cfg_sqp, "lin_chunk", 0),
         riccati_unroll=getattr(cfg_sqp, "riccati_unroll", 8),
         sensitivity=getattr(cfg_sqp, "sensitivity", "frozen"),
+        lin_tangents=getattr(cfg_sqp, "lin_tangents", "f32"),
     )
 
 

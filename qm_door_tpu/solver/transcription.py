@@ -183,7 +183,7 @@ def _momentum_velocity_coeffs(model, q, dtype):
 
 
 def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_next,
-                        sensitivity: str = "rk2"):
+                        sensitivity: str = "rk2", tangents: str = "f32"):
     """Fused 24-tangent per-node linearization.
 
     ``sensitivity``: "rk2" = exact discrete RK2 sensitivities (second flow
@@ -234,8 +234,38 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
         e = _ee_error(model, ocp, x_, stage.ee_pos_ref[k], stage.ee_quat_ref[k])
         return jnp.concatenate([f1, g, e])
 
-    out1, jvp1 = jax.linearize(stage1, q_bar[3:24])
-    J1 = jax.vmap(jvp1)(jnp.eye(21, dtype=dtype)).T   # (48, 21)
+    if tangents == "bf16":
+        # bf16 TANGENT sweep: the 21-tangent intermediates are ~99% of the
+        # linearize stage's HBM bytes (docs/PERF.md roofline) and the step
+        # is bandwidth-bound, so halving them converts ~1:1 to throughput.
+        # Only the Jacobian J1 is bf16-derived; the primal outputs (defects,
+        # constraint values, EE error) are recomputed in f32 below (~1/21 of
+        # the tangent cost), so the SQP FIXED POINT is exact — the bf16
+        # Jacobian only perturbs the Newton convergence path. Every captured
+        # operand must be cast (a single f32 operand silently promotes the
+        # whole chain back to f32).
+        bf = jnp.bfloat16
+        castl = lambda a: a.astype(bf) if jnp.issubdtype(
+            jnp.asarray(a).dtype, jnp.floating) else a
+        model_b = jax.tree_util.tree_map(castl, model)
+        h_b, xyz_b, u_b = (castl(v) for v in (h_bar, xyz_bar, u_bar))
+        flags_b, zref_b = castl(flags), castl(zref)
+        pos_ref_b = castl(stage.ee_pos_ref[k])
+        quat_ref_b = castl(stage.ee_quat_ref[k])
+
+        def stage1_t(q_ej):
+            x_ = jnp.concatenate([h_b, xyz_b, q_ej])
+            f1 = centroidal.flow_map_any(model_b, x_, u_b)
+            g = cons.velocity_constraint(model_b, x_, u_b, flags_b, zref_b)
+            e = _ee_error(model_b, ocp, x_, pos_ref_b, quat_ref_b)
+            return jnp.concatenate([f1, g, e])
+
+        _, jvp1 = jax.linearize(stage1_t, q_bar[3:24].astype(bf))
+        J1 = jax.vmap(jvp1)(jnp.eye(21, dtype=bf)).T.astype(dtype)
+        out1 = stage1(q_bar[3:24])  # f32 primal (exact defects/values)
+    else:
+        out1, jvp1 = jax.linearize(stage1, q_bar[3:24])
+        J1 = jax.vmap(jvp1)(jnp.eye(21, dtype=dtype)).T   # (48, 21)
     f1, g0, e = out1[:30], out1[30:42], out1[42:48]
     z30_3 = jnp.zeros((30, 3), dtype=dtype)
     z12_3 = jnp.zeros((12, 3), dtype=dtype)
@@ -310,18 +340,19 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
 
 
 def linearize_ocp(model: RobotModel, ocp: OcpConfig, stage: StageData, dt, X, U,
-                  node_chunk: int = 0, sensitivity: str = "rk2") -> LqProblem:
+                  node_chunk: int = 0, sensitivity: str = "rk2",
+                  tangents: str = "f32") -> LqProblem:
     """Vectorized linearization of dynamics/cost/constraints along (X, U).
 
     X: (N+1, 30), U: (N, 30). ``node_chunk`` > 0 processes nodes in chunks
     (lax.map batch_size) to bound the jacfwd workspace at large scenario
-    batches; 0 vectorizes all nodes at once. ``sensitivity``: see
-    :func:`_node_linearization`.
+    batches; 0 vectorizes all nodes at once. ``sensitivity`` /
+    ``tangents``: see :func:`_node_linearization`.
     """
     N = U.shape[0]
     ks = jnp.arange(N)
     fn = partial(_node_linearization, model, ocp, stage, dt,
-                 sensitivity=sensitivity)
+                 sensitivity=sensitivity, tangents=tangents)
     if node_chunk and node_chunk < N:
         A, B, d, l, lx, lu, lxx, luu, lux, g0, Gx, Gv = jax.lax.map(
             lambda args: fn(*args), (ks, X[:-1], U, X[1:]), batch_size=node_chunk

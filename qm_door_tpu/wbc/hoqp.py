@@ -203,9 +203,12 @@ def _spd_solve_b(M, Y, shift: float, backend: str):
     if backend == "pallas":
         from ..ops.pallas_chol import spd_solve
 
-        k = M.shape[-1]
-        bt = 128 if k <= 64 else 64
-        return spd_solve(M, Y, shift=shift, batch_tile=bt)
+        # Mosaic constraint: the lane (batch) block must be a multiple of
+        # 128 or the whole batch — a 64 tile does not lower. VMEM at
+        # bt=128 with the largest WBC system (k=92, n=42): Gram 4.3 MB +
+        # rhs/out 2 MB each, fits; if a future stack outgrows VMEM, chunk
+        # the RHS columns instead of shrinking the lane tile.
+        return spd_solve(M, Y, shift=shift, batch_tile=128)
 
     def one(m_, y_):
         k = m_.shape[0]

@@ -141,9 +141,9 @@ def _spd_solve_batched(M, rhs, shift: float, backend: str):
     if backend == "pallas":
         from ..ops.pallas_chol import spd_solve
 
-        k = M.shape[-1]
-        bt = 128 if k <= 64 else 64  # VMEM: (k,k,bt) tile must stay < ~4 MB
-        return spd_solve(M, rhs[..., None], shift=shift, batch_tile=bt)[..., 0]
+        # lane tile must be a multiple of 128 (Mosaic) — a (k,k,128) block
+        # is 4.3 MB at the largest k=92, well inside VMEM with a 1-col rhs
+        return spd_solve(M, rhs[..., None], shift=shift, batch_tile=128)[..., 0]
 
     def one(m_, r_):
         k = m_.shape[0]

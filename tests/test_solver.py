@@ -261,3 +261,45 @@ def test_frozen_sensitivity_same_fixed_point(mpc_setup):
         np.asarray(sols["frozen"].U), np.asarray(sols["rk2"].U),
         atol=1e-1,
     )
+
+
+def test_bf16_tangent_linearization_close(mpc_setup):
+    """bf16 tangent sweep (lin_tangents="bf16"): the defects d and primal
+    constraint values must be EXACT (f32/f64 primal path), the Jacobians
+    within bf16 relative error of the f32 reference."""
+    import jax
+
+    from qm_door_tpu.solver.transcription import _node_linearization
+
+    model, cfg, ocp, solver, x0, targets = mpc_setup
+    sched = GaitSchedule()
+    sched.insert_template(GAIT_LIBRARY["trot"], 0.0, 3.0)
+    stage = build_stage_data(model, cfg, sched, targets, 0.0)
+    X, U = solver.cold_start(stage, x0)
+    rng_l = np.random.default_rng(5)
+    X = X + jnp.asarray(rng_l.normal(size=X.shape) * 0.01)
+    U = U + jnp.asarray(rng_l.normal(size=U.shape) * 1.0)
+
+    f32_fn = jax.jit(lambda k, x, u, xn: _node_linearization(
+        model, ocp, stage, cfg.sqp.dt, k, x, u, xn, sensitivity="frozen"))
+    b16_fn = jax.jit(lambda k, x, u, xn: _node_linearization(
+        model, ocp, stage, cfg.sqp.dt, k, x, u, xn, sensitivity="frozen",
+        tangents="bf16"))
+    for k in [0, 23]:
+        ref = f32_fn(k, X[k], U[k], X[k + 1])
+        b16 = b16_fn(k, X[k], U[k], X[k + 1])
+        A, B, d = ref[0], ref[1], ref[2]
+        Ab, Bb, db = b16[0], b16[1], b16[2]
+        g0, Gx, Gv = ref[9], ref[10], ref[11]
+        g0b, Gxb, Gvb = b16[9], b16[10], b16[11]
+        # exact: defects, constraint values, Gv (analytic rows)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(d), rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(g0b), np.asarray(g0), rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(Gvb), np.asarray(Gv), rtol=0, atol=0)
+        # bf16-level: the q-columns of A and Gx (8-bit mantissa ~ 0.4% rel)
+        scale = np.abs(np.asarray(A)).max()
+        assert np.abs(np.asarray(Ab) - np.asarray(A)).max() < 2e-2 * scale
+        scale_g = max(np.abs(np.asarray(Gx)).max(), 1.0)
+        assert np.abs(np.asarray(Gxb) - np.asarray(Gx)).max() < 2e-2 * scale_g
+        scale_b = max(np.abs(np.asarray(B)).max(), 1.0)
+        assert np.abs(np.asarray(Bb) - np.asarray(B)).max() < 2e-2 * scale_b

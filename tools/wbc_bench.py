@@ -5,7 +5,9 @@ here B ticks solve in parallel).
 
 Usage: QM_WBC_BATCH=512 QM_WBC_MODE=batched python tools/wbc_bench.py
   QM_WBC_MODE: "batched" (batch-major cascade on the Pallas SPD kernel,
-  production path) or "vmap" (per-robot cascade vmapped, reference path).
+  production path), "vmap" (per-robot cascade vmapped, reference path), or
+  "ft" (42-var force-tracking stack, wbc/force.py, vmapped — the door
+  scenario's per-tick cost).
 """
 import json
 import os
@@ -43,7 +45,23 @@ def main():
     rbds = jnp.tile(rbd[None], (b, 1))
     flagss = jnp.tile(flags[None], (b, 1))
 
-    if mode == "batched":
+    if mode == "ft":
+        from qm_door_tpu.wbc.force import hierarchical_wbc_ft
+
+        u_ft = jnp.concatenate([u_des, jnp.zeros(6, dtype=dtype)])
+        us = jnp.tile(u_ft[None], (b, 1))
+
+        @jax.jit
+        def batched_tick(xs, us, rbds, flagss):
+            def one(x, u, r, f):
+                cmd, _ = hierarchical_wbc_ft(
+                    model, cfg.wbc, x, u, r, f, jnp.asarray(1.0, dtype=dtype),
+                    WbcState.init(dtype=dtype, nu=36), 0.002,
+                )
+                return cmd
+
+            return jax.vmap(one)(xs, us, rbds, flagss)
+    elif mode == "batched":
         @jax.jit
         def batched_tick(xs, us, rbds, flagss):
             state = WbcState(input_last=jnp.zeros((xs.shape[0], 30), dtype=dtype))
