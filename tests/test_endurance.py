@@ -1,0 +1,82 @@
+"""Endurance goldens: 10 s closed loops with bounded attitude/violation over
+the WHOLE window (the reference controller runs unbounded,
+/root/reference/qm_controllers/src/QMController.cpp:129-176 — its demos trot
+and hold arm tasks indefinitely; these pin the longest windows we assert).
+
+Unlike the short goldens (tests/test_closed_loop.py) these assert bounds
+over every sample, not just the final state: a slowly growing oscillation
+(the round-3 ROADMAP's open item) fails here even if the end pose looks fine.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qm_door_tpu.config import default_config
+from qm_door_tpu.models import kinematics, spatial
+from qm_door_tpu.ocp.gait import GAIT_LIBRARY, GaitSchedule
+from qm_door_tpu.ocp.reference import TargetTrajectories
+from qm_door_tpu.sim.closed_loop import ClosedLoopRunner
+
+DURATION = 10.0
+
+
+def _targets(model, cfg, ee_offset=None):
+    x0 = jnp.asarray(cfg.initial_state())
+    R_ee, p_ee = kinematics.ee_pose(model, x0[6:30])
+    quat = spatial.rot_to_quat(R_ee)
+    if ee_offset is not None:
+        p_ee = p_ee + jnp.asarray(ee_offset)
+    state = jnp.concatenate([x0, p_ee, quat])
+    return TargetTrajectories.create(
+        jnp.array([0.0, 1e5]), jnp.stack([state, state]), jnp.zeros((2, 30))
+    )
+
+
+def _assert_bounded(log, z_lo=0.3, tilt=0.25, viol_tail=1e-3):
+    assert log.safe
+    base = np.stack(log.base_pose)
+    viol = np.asarray(log.mpc_viol)
+    # attitude and height bounded over the WHOLE window
+    assert base[:, 2].min() > z_lo, base[:, 2].min()
+    assert np.abs(base[:, 4:6]).max() < tilt, np.abs(base[:, 4:6]).max()
+    # no growing oscillation: the last quarter is no worse than the middle
+    n = len(base)
+    mid = np.abs(base[n // 4: n // 2, 4:6]).max()
+    late = np.abs(base[3 * n // 4:, 4:6]).max()
+    assert late < max(2.0 * mid, 0.05), (mid, late)
+    # MPC stays feasible throughout the second half
+    assert np.median(viol[len(viol) // 2:]) < viol_tail
+
+
+@pytest.mark.slow
+def test_trot_ten_seconds(mpc_stack):
+    """10 s flat-ground trot in place (round-3 verdict endurance item)."""
+    model, cfg0, ocp, solver, x0, targets0 = mpc_stack
+    cfg = default_config()
+    cfg.controller.leg_pd_start_time = -1.0
+    cfg.wbc.arm_init_time = -1.0
+    sched = GaitSchedule()
+    sched.insert_template(GAIT_LIBRARY["trot"], 0.0, DURATION + 5.0)
+    runner = ClosedLoopRunner(model, cfg, schedule=sched, solver=solver)
+    log = runner.run(_targets(model, cfg), duration=DURATION)
+    _assert_bounded(log)
+    base = np.stack(log.base_pose)
+    # trot in place: no net drift
+    assert np.abs(base[-1, 0:2]).max() < 0.15, base[-1, 0:2]
+
+
+@pytest.mark.slow
+def test_stance_arm_task_ten_seconds(mpc_stack):
+    """10 s stance with the arm held on an offset EE target — the
+    outstretched-arm posture whose slowly growing pitch/roll oscillation was
+    a round-3 open item (sim/door_loop.py carried a 'retract briskly before
+    it grows' workaround); the golden pins the fixed behavior."""
+    model, cfg0, ocp, solver, x0, targets0 = mpc_stack
+    cfg = default_config()
+    cfg.controller.leg_pd_start_time = -1.0
+    cfg.wbc.arm_init_time = -1.0
+    runner = ClosedLoopRunner(model, cfg, solver=solver)
+    # 12 cm forward + 5 cm up: inside the workspace, meaningfully stretched
+    log = runner.run(_targets(model, cfg, ee_offset=(0.12, 0.0, 0.05)),
+                     duration=DURATION)
+    _assert_bounded(log)
