@@ -64,7 +64,9 @@ def main():
     from qm_door_tpu.utils.compile_cache import enable_persistent_cache
 
     cache_on = enable_persistent_cache()
-    b = int(os.environ.get("QM_BENCH_BATCH", "512"))
+    # batch sweep (bf16 tangents, v5e): 256 -> 6240, 512 -> 5875,
+    # 1024 -> 5213 solves/s; 256 is the single-chip throughput knee
+    b = int(os.environ.get("QM_BENCH_BATCH", "256"))
     reps = int(os.environ.get("QM_BENCH_REPS", "20"))
 
     from qm_door_tpu.config import default_config, quad_only_config

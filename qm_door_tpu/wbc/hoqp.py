@@ -21,7 +21,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from .qp import solve_qp, solve_qp_batched
+from .qp import solve_qp, solve_qp_batched, solve_qp_slack_batched
 
 
 class Task(NamedTuple):
@@ -140,39 +140,27 @@ def solve_hierarchy(tasks: Sequence[Task], qp_iters: int = 30, null_tol=None,
             H_zz = AZ.T @ AZ + jnp.diag(1.0 - col_live) + h_reg * jnp.eye(n, dtype=dtype)
         c_z = AZ.T @ (A @ x - b)
 
-        # decision vars [z (n); v (nv)]
-        H = jnp.zeros((n + nv, n + nv), dtype=dtype)
-        H = H.at[:n, :n].set(H_zz)
-        H = H.at[n:, n:].set(jnp.eye(nv, dtype=dtype))
-        c = jnp.concatenate([c_z, jnp.zeros(nv, dtype=dtype)])
-
-        G_rows = []
-        h_rows = []
-        # own inequalities: D(x + Zz) <= f + v
+        # Condensed level solve (qp.solve_qp_slack_batched at B=1): the
+        # slack block of the IP Newton system is diagonal and eliminated
+        # analytically, shrinking the inner solve from (n+nv)^2 to n^2 —
+        # same minimizer (equivalence-tested against the stacked form in
+        # tests/test_wbc_batched.py::test_slack_qp_matches_stacked).
         if nv > 0:
-            G_rows.append(jnp.concatenate([D @ Z, -jnp.eye(nv, dtype=dtype)], axis=1))
-            h_rows.append(f - D @ x)
-            # v >= 0
-            G_rows.append(
-                jnp.concatenate([jnp.zeros((nv, n), dtype=dtype), -jnp.eye(nv, dtype=dtype)], axis=1)
-            )
-            h_rows.append(jnp.zeros(nv, dtype=dtype))
-        # inherited inequalities with frozen slacks
-        for Dp, fp in prev_ineq:
-            G_rows.append(
-                jnp.concatenate([Dp @ Z, jnp.zeros((Dp.shape[0], nv), dtype=dtype)], axis=1)
-            )
-            h_rows.append(fp - Dp @ x)
-
-        if G_rows:
-            G = jnp.concatenate(G_rows, axis=0)
-            h = jnp.concatenate(h_rows)
+            G1 = (D @ Z)[None]
+            h1 = (f - D @ x)[None]
         else:
-            G = jnp.zeros((1, n + nv), dtype=dtype)
-            h = jnp.ones(1, dtype=dtype)
+            G1 = jnp.zeros((1, 0, n), dtype=dtype)
+            h1 = jnp.zeros((1, 0), dtype=dtype)
+        if prev_ineq:
+            Gp = jnp.concatenate([Dp @ Z for Dp, _ in prev_ineq], axis=0)[None]
+            hp = jnp.concatenate([fp - Dp @ x for Dp, fp in prev_ineq])[None]
+        else:
+            Gp = jnp.zeros((1, 0, n), dtype=dtype)
+            hp = jnp.zeros((1, 0), dtype=dtype)
 
-        sol, _, _ = solve_qp(H, c, G, h, iters=qp_iters)
-        z, v = sol[:n], sol[n:]
+        zb, vb = solve_qp_slack_batched(H_zz[None], c_z[None], G1, h1,
+                                        Gp, hp, iters=qp_iters)
+        z, v = zb[0], vb[0]
         x = x + Z @ z
 
         if nv > 0:
@@ -203,12 +191,21 @@ def _spd_solve_b(M, Y, shift: float, backend: str):
     if backend == "pallas":
         from ..ops.pallas_chol import spd_solve
 
-        # Mosaic constraint: the lane (batch) block must be a multiple of
-        # 128 or the whole batch — a 64 tile does not lower. VMEM at
-        # bt=128 with the largest WBC system (k=92, n=42): Gram 4.3 MB +
-        # rhs/out 2 MB each, fits; if a future stack outgrows VMEM, chunk
-        # the RHS columns instead of shrinking the lane tile.
-        return spd_solve(M, Y, shift=shift, batch_tile=128)
+        # Mosaic constraints: the lane (batch) block must be a multiple of
+        # 128 or the whole batch (a 64 tile does not lower), and the
+        # unrolled triangular solves hold (k, m, bt) temps that blow the
+        # 16 MB scoped-VMEM budget for wide RHS (measured at k=52, m=36)
+        # — so wide RHS solve in column chunks, re-factorizing per chunk
+        # (factor O(k^3/3) ~ solve O(k^2 m); < 2x total).
+        mcols = Y.shape[-1]
+        ch = 16
+        if mcols <= ch:
+            return spd_solve(M, Y, shift=shift, batch_tile=128)
+        outs = [
+            spd_solve(M, Y[..., i:i + ch], shift=shift, batch_tile=128)
+            for i in range(0, mcols, ch)
+        ]
+        return jnp.concatenate(outs, axis=-1)
 
     def one(m_, y_):
         k = m_.shape[0]
@@ -278,33 +275,27 @@ def solve_hierarchy_batched(tasks: Sequence[Task], qp_iters: int = 30,
         H_zz = AZT @ AZ + dead_reg + h_reg * eye_n[None]
         c_z = jnp.einsum("bij,bj->bi", AZT, jnp.einsum("bij,bj->bi", A, x) - b)
 
-        H = jnp.zeros((B, n + nv, n + nv), dtype=dtype)
-        H = H.at[:, :n, :n].set(H_zz)
-        H = H.at[:, n:, n:].set(jnp.broadcast_to(jnp.eye(nv, dtype=dtype), (B, nv, nv)))
-        c = jnp.concatenate([c_z, jnp.zeros((B, nv), dtype=dtype)], axis=-1)
-
-        G_rows, h_rows = [], []
+        # Condensed HoQp level solve (qp.solve_qp_slack_batched): the slack
+        # block is eliminated analytically, so the IP Newton system stays
+        # (n, n) — the (n+nv)^2 stacked form (92^2 in production) exceeded
+        # the Pallas kernel's scoped-VMEM budget and 10x'd the factor FLOPs.
         if nv > 0:
-            eye_v = jnp.broadcast_to(jnp.eye(nv, dtype=dtype), (B, nv, nv))
-            G_rows.append(jnp.concatenate([D @ Z, -eye_v], axis=-1))
-            h_rows.append(f - jnp.einsum("bij,bj->bi", D, x))
-            G_rows.append(jnp.concatenate(
-                [jnp.zeros((B, nv, n), dtype=dtype), -eye_v], axis=-1))
-            h_rows.append(jnp.zeros((B, nv), dtype=dtype))
-        for Dp, fp in prev_ineq:
-            G_rows.append(jnp.concatenate(
-                [Dp @ Z, jnp.zeros((B, Dp.shape[1], nv), dtype=dtype)], axis=-1))
-            h_rows.append(fp - jnp.einsum("bij,bj->bi", Dp, x))
-
-        if G_rows:
-            G = jnp.concatenate(G_rows, axis=1)
-            h = jnp.concatenate(h_rows, axis=-1)
+            G1 = D @ Z
+            h1 = f - jnp.einsum("bij,bj->bi", D, x)
         else:
-            G = jnp.zeros((B, 1, n + nv), dtype=dtype)
-            h = jnp.ones((B, 1), dtype=dtype)
+            G1 = jnp.zeros((B, 0, n), dtype=dtype)
+            h1 = jnp.zeros((B, 0), dtype=dtype)
+        if prev_ineq:
+            Gp = jnp.concatenate([Dp @ Z for Dp, _ in prev_ineq], axis=1)
+            hp = jnp.concatenate(
+                [fp - jnp.einsum("bij,bj->bi", Dp, x) for Dp, fp in prev_ineq],
+                axis=-1)
+        else:
+            Gp = jnp.zeros((B, 0, n), dtype=dtype)
+            hp = jnp.zeros((B, 0), dtype=dtype)
 
-        sol, _, _ = solve_qp_batched(H, c, G, h, iters=qp_iters, backend=backend)
-        z, v = sol[:, :n], sol[:, n:]
+        z, v = solve_qp_slack_batched(H_zz, c_z, G1, h1, Gp, hp,
+                                      iters=qp_iters, backend=backend)
         x = x + jnp.einsum("bij,bj->bi", Z, z)
 
         if nv > 0:

@@ -128,3 +128,76 @@ def test_hierarchical_wbc_batched_matches_vmap(rng, dtype):
             for cmd in (cmd_b[i], cmd_ref[i]):
                 res = eom.A @ cmd[:36] - eom.b
                 assert float(jnp.abs(res).max()) < 1e-2, res
+
+
+def test_slack_qp_matches_stacked():
+    """solve_qp_slack_batched (Schur-condensed HoQp level QP) must land on
+    the same minimizer as stacking [z; v] through solve_qp_batched."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qm_door_tpu.wbc.qp import solve_qp_batched, solve_qp_slack_batched
+
+    rng = np.random.default_rng(7)
+    B, n, nv, mp = 4, 9, 5, 3
+    Az = rng.normal(size=(B, n + 2, n))
+    Hz = jnp.asarray(Az.swapaxes(-1, -2) @ Az + 1e-6 * np.eye(n))
+    cz = jnp.asarray(rng.normal(size=(B, n)))
+    G1 = jnp.asarray(rng.normal(size=(B, nv, n)))
+    h1 = jnp.asarray(rng.normal(size=(B, nv)) + 0.5)
+    Gp = jnp.asarray(rng.normal(size=(B, mp, n)))
+    hp = jnp.asarray(rng.normal(size=(B, mp)) + 0.5)
+
+    z_s, v_s = solve_qp_slack_batched(Hz, cz, G1, h1, Gp, hp, iters=40)
+
+    # stacked reference
+    H = np.zeros((B, n + nv, n + nv))
+    H[:, :n, :n] = np.asarray(Hz)
+    H[:, n:, n:] = np.eye(nv)
+    c = np.concatenate([np.asarray(cz), np.zeros((B, nv))], axis=-1)
+    G = np.concatenate(
+        [
+            np.concatenate([np.asarray(G1), -np.tile(np.eye(nv), (B, 1, 1))], axis=-1),
+            np.concatenate([np.zeros((B, nv, n)), -np.tile(np.eye(nv), (B, 1, 1))], axis=-1),
+            np.concatenate([np.asarray(Gp), np.zeros((B, mp, nv))], axis=-1),
+        ],
+        axis=1,
+    )
+    h = np.concatenate([np.asarray(h1), np.zeros((B, nv)), np.asarray(hp)], axis=-1)
+    sol, _, _ = solve_qp_batched(jnp.asarray(H), jnp.asarray(c),
+                                 jnp.asarray(G), jnp.asarray(h), iters=40)
+    z_ref, v_ref = np.asarray(sol[:, :n]), np.asarray(sol[:, n:])
+
+    np.testing.assert_allclose(np.asarray(z_s), z_ref, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(v_s), v_ref, atol=5e-6)
+
+
+def test_slack_qp_empty_groups():
+    """nv = 0 (unconstrained but inherited rows) and mp = 0 shapes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qm_door_tpu.wbc.qp import solve_qp_batched, solve_qp_slack_batched
+
+    rng = np.random.default_rng(8)
+    B, n = 3, 6
+    Az = rng.normal(size=(B, n + 1, n))
+    Hz = jnp.asarray(Az.swapaxes(-1, -2) @ Az + 1e-6 * np.eye(n))
+    cz = jnp.asarray(rng.normal(size=(B, n)))
+    Gp = jnp.asarray(rng.normal(size=(B, 4, n)))
+    hp = jnp.asarray(rng.normal(size=(B, 4)) + 0.5)
+    z0 = jnp.zeros((B, 0, n))
+    h0 = jnp.zeros((B, 0))
+
+    # nv = 0, mp > 0: plain inequality QP
+    z_s, v_s = solve_qp_slack_batched(Hz, cz, z0, h0, Gp, hp, iters=40)
+    sol, _, _ = solve_qp_batched(Hz, cz, Gp, hp, iters=40)
+    np.testing.assert_allclose(np.asarray(z_s), np.asarray(sol), atol=5e-6)
+    assert v_s.shape == (B, 0)
+
+    # nv = 0, mp = 0: unconstrained -> Newton solve
+    z_u, _ = solve_qp_slack_batched(Hz, cz, z0, h0, jnp.zeros((B, 0, n)),
+                                    jnp.zeros((B, 0)), iters=40)
+    ref = np.stack([np.linalg.solve(np.asarray(Hz[b]), -np.asarray(cz[b]))
+                    for b in range(B)])
+    np.testing.assert_allclose(np.asarray(z_u), ref, rtol=1e-6, atol=1e-8)
