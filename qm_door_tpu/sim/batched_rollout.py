@@ -229,7 +229,8 @@ class BatchedClosedLoop:
             return x.reshape(G, c, *x.shape[1:])
 
         def unsplit(x):
-            return x.reshape(G * c, *x.shape[1:])
+            # inputs are (G, c, ...) from lax.map — merge the chunk axes
+            return x.reshape(G * c, *x.shape[2:])
 
         carry_r = jax.tree.map(split, carry)
         wrench_r = split(wrench)

@@ -20,9 +20,21 @@ import numpy as np
 
 
 def main():
+    # honor JAX_PLATFORMS=cpu for the virtual-device mesh runs: the image's
+    # sitecustomize imports jax and pins the axon (TPU) platform at
+    # interpreter start, so the env var alone is not enough (same override
+    # as tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
     b = int(os.environ.get("QM_ROLLOUT_BATCH", "64"))
     cycles = int(os.environ.get("QM_ROLLOUT_CYCLES", "20"))
+    # QM_ROLLOUT_MESH=N shards the scenario axis over an N-device mesh
+    # (BASELINE config #5's serving shape; on this box: the 8-virtual-device
+    # CPU mesh via XLA_FLAGS=--xla_force_host_platform_device_count=8
+    # JAX_PLATFORMS=cpu). GSPMD propagates the input sharding through the
+    # jitted rollout — per-scenario work stays device-local, no collectives.
+    n_mesh = int(os.environ.get("QM_ROLLOUT_MESH", "0"))
 
     from qm_door_tpu.config import default_config
     from qm_door_tpu.models import aliengo_z1, centroidal, kinematics, spatial
@@ -73,6 +85,13 @@ def main():
 
     stage0 = jax.tree.map(lambda x: x[0], stages)
     carry = loop.init_carry(stage0, q0b)
+    if n_mesh:
+        from qm_door_tpu.parallel.mesh import replicate, scenario_mesh, shard_batch
+
+        assert b % n_mesh == 0, (b, n_mesh)
+        mesh = scenario_mesh(n_devices=n_mesh)
+        stages = replicate(stages, mesh)
+        carry = shard_batch(carry, mesh)
 
     # domain randomization (BASELINE config #5): per-scenario payload
     # (persistent -z base force, 0-60 N ~ 0-6 kg) and a lateral push burst
@@ -86,6 +105,11 @@ def main():
     wr[lo:hi, :, 0] += (push * np.cos(heading))[None, :]
     wr[lo:hi, :, 1] += (push * np.sin(heading))[None, :]
     wrenches = jnp.asarray(wr, dtype=dtype)
+    if n_mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        wrenches = jax.device_put(
+            wrenches, NamedSharding(mesh, P(None, "scenario")))
 
     if os.environ.get("QM_ROLLOUT_MEMSTATS") == "1":
         # exact compiled-footprint report (XLA memory analysis): where the
