@@ -198,7 +198,11 @@ def _spd_solve_b(M, Y, shift: float, backend: str):
         # — so wide RHS solve in column chunks, re-factorizing per chunk
         # (factor O(k^3/3) ~ solve O(k^2 m); < 2x total).
         mcols = Y.shape[-1]
-        ch = 16
+        # ch=16 at k=52 sat 36 KB over the 16 MB scoped-vmem limit once the
+        # rollout loop also pinned the solve's output block in VMEM
+        # (batch-1536 closed-loop compile, round-4 bisect) — halve the
+        # chunk for the large null-projector Gram systems.
+        ch = 16 if M.shape[-1] <= 48 else 8
         if mcols <= ch:
             return spd_solve(M, Y, shift=shift, batch_tile=128)
         outs = [
