@@ -81,8 +81,13 @@ SCENARIOS: Dict[str, ScenarioSpec] = {
         notes="walk a maze corridor between collision walls"),
 }
 
-# door worlds are separate runners (force-tracking stack)
-DOOR_SCENARIOS = ("push_door",)  # pull_door: see sim/door.py latch model
+# door worlds are separate runners (force-tracking stack).
+# cs/push_door_world.launch and cs/pull_door_world.launch: the reference's
+# two door worlds differ by the door frame's mirrored mount (door_pull.urdf
+# fixed-joint rpy +1.5708 vs -1.5708) and the robot spawn pose; here the
+# mirror is DoorScenario.pull and the pull preset re-tunes the sequencing
+# constants for the toward-the-robot swing (sim/door_loop.py PULL_SCENARIO).
+DOOR_SCENARIOS = ("push_door", "pull_door")
 
 
 def _hold_targets(model: RobotModel, cfg: QmConfig) -> TargetTrajectories:
@@ -131,13 +136,14 @@ def make_scenario(name: str, model: Optional[RobotModel] = None,
     from .sim.closed_loop import ClosedLoopRunner
 
     if name in DOOR_SCENARIOS:
-        from .sim.door_loop import DoorOpeningRunner
+        from .sim.door_loop import PULL_SCENARIO, DoorOpeningRunner, DoorScenario
 
         model = model or aliengo_z1()
         cfg = cfg or default_config()
         cfg.controller.leg_pd_start_time = -1.0
         cfg.wbc.arm_init_time = -1.0
-        return DoorOpeningRunner(model, cfg), None
+        sc = PULL_SCENARIO if name == "pull_door" else DoorScenario()
+        return DoorOpeningRunner(model, cfg, scenario=sc), None
 
     spec = SCENARIOS[name]
     model = model or aliengo_z1()

@@ -72,6 +72,16 @@ class DoorScenario(NamedTuple):
     release_angle: float = -0.42
     t_coast_max: float = 0.02   # one control cycle: see class docstring
     coast_grip: float = 0.0     # gate target during the (vestigial) coast
+    # Decoupled coast ramps (round-4 robustness work): the grip fade and the
+    # base un-lean were one 0.3 s constant, which is wrong in BOTH
+    # directions — a slow fade lets the stretched grasp spring BRAKE the
+    # coasting door (measured: panel stalls at the open target), while a
+    # fast coast releases with the robot still leaned and moving (measured:
+    # forward dive within 0.4 s of the let-go on fp-level solver
+    # perturbations). Fast fade frees the door's momentum; slow un-lean
+    # sheds the ROBOT's momentum before the release gate opens.
+    t_coast_grip: float = 0.3   # grip fade time within the coast
+    t_coast_unlean: float = 0.3  # base un-lean ramp time within the coast
     # arc-lead rate of the EE reference: sets the door speed and with it
     # the grasp-spring transmission force; -0.5 measured a violent ride
     # (base z dips to 0.13 m mid-push), -0.3 keeps the push controlled
@@ -117,6 +127,20 @@ class DoorScenario(NamedTuple):
     # inserting a trot at the release instant lets it catch that momentum
     # with a step, then stand down once settled
     trot_on_release: bool = True
+    # when to insert that trot: "release" = the let-go instant (round-2/3
+    # behavior), "coast" = the moment the push ends. The round-4 base-trace
+    # diagnosis (scratch/r4): by the end of the push the grasp-spring lead
+    # has dragged the base ~0.17 m forward at ~0.19 m/s — past the front
+    # feet with the arm's mass ahead — so the robot NEEDS to step before
+    # the release, not after; every stance-coast variant tipped within
+    # 0.5 s while the trot-at-release catch was a numerics coin-flip.
+    trot_at: str = "coast"
+    # pull door (qm_description/urdf/doors/door_pull.urdf — the push door's
+    # frame mounted mirrored, fixed-joint rpy +-1.5708 being the only URDF
+    # difference): the hinge sits to the robot's LEFT and the panel swings
+    # TOWARD the robot, so the drive phase pulls the handle in while the
+    # base gives ground. Geometry only — the sequencing below is shared.
+    pull: bool = False
     # --- alternative terminal behaviors (kept for experimentation; both
     # measured worse than release-with-momentum on the default door) ---
     # hold_open: push to open_target and keep gripping forever
@@ -126,6 +150,21 @@ class DoorScenario(NamedTuple):
     walk_in_at: float = None
     walk: bool = False          # trot through the whole push (measured: falls)
     walk_gait: str = "trot"
+
+
+# Pull-door preset (cs/pull_door_world.launch parity): mirrored mount plus
+# re-tuned sequencing for the toward-the-robot swing. The drive phase PULLS
+# the handle in, so the base gives ground with the arc (lean_gain up — the
+# arm would fold against the body otherwise) and the lateral counter-lean
+# flips sign (the hinge side, where the arc drags the hand, is now the LEFT).
+PULL_SCENARIO = DoorScenario(
+    pull=True,
+    lean_gain=0.5,
+    lean_y=-0.05,
+    open_target=-0.30,
+    release_angle=-0.36,
+    door_rate_ref=-0.25,
+)
 
 
 @dataclass
@@ -186,7 +225,11 @@ class DoorOpeningRunner:
                 [scenario.handle_ahead, 0.0, 0.0])
             base = DoorConfig()
             ox, oy, oz = base.handle_offset
-            yaw0 = np.pi / 2
+            # push: hinge 0.8 m to the robot's right (yaw +pi/2), opening
+            # moves the handle AWAY (+x). pull: the mirrored mount (yaw
+            # -pi/2, hinge 0.8 m to the robot's left), opening moves the
+            # handle TOWARD the robot (-x) — door_pull.urdf's flipped frame.
+            yaw0 = -np.pi / 2 if scenario.pull else np.pi / 2
             c, s = np.cos(yaw0), np.sin(yaw0)
             off = np.array([c * ox - s * oy, s * ox + c * oy])
             door_cfg = base._replace(
@@ -224,7 +267,7 @@ class DoorOpeningRunner:
         if (not sc.hold_open) and (coasting or float(door.angle) <= sc.open_target):
             if not coasting:
                 self._t_coast = t
-            unleaned = t >= self._t_coast + 0.3  # un-lean ramp complete
+            unleaned = t >= self._t_coast + sc.t_coast_unlean  # ramp complete
             if ((float(door.angle) <= sc.release_angle and unleaned)
                     or t >= self._t_coast + sc.t_coast_max):
                 self._done = True
@@ -251,7 +294,7 @@ class DoorOpeningRunner:
         if phase == "coast":
             # soften in step with the target-lead decay (see _targets):
             # simultaneous fast grip + target changes measured a lurch
-            r = min(1.0, (t - self._t_coast) / 0.3)
+            r = min(1.0, (t - self._t_coast) / max(self.scenario.t_coast_grip, 1e-9))
             return float((1.0 - r) * 1.0 + r * self.scenario.coast_grip)
         if phase == "done":
             r = self.scenario.t_release_ramp
@@ -324,7 +367,8 @@ class DoorOpeningRunner:
             # discontinuous variant), while a static lead keeps dragging
             # the base after the departing handle
             dts = np.linspace(0.0, 1.2, 8)
-            beta = min(1.0, max(0.0, (t - self._t_coast) / 0.3))
+            beta = min(1.0, max(0.0, (t - self._t_coast)
+                                / max(sc.t_coast_grip, 1e-9)))
             rate_pred = (1.0 - beta) * np.clip(
                 0.5 * (float(door.rate) + sc.door_rate_ref),
                 sc.door_rate_ref, 0.0,
@@ -392,7 +436,8 @@ class DoorOpeningRunner:
             angles = np.full(2, float(door.angle))
         x_base = np.asarray(self._x_nom)
         if phase == "coast":
-            c_un = min(1.0, max(0.0, (t - self._t_coast) / 0.3))
+            c_un = min(1.0, max(0.0, (t - self._t_coast)
+                                / max(sc.t_coast_unlean, 1e-9)))
             d_open = np.asarray(handle_position(
                 self.door_cfg,
                 door.replace(angle=jnp.asarray(sc.open_target,
@@ -545,6 +590,16 @@ class DoorOpeningRunner:
                 # step in: the stance arm is at its reach ceiling
                 self._walking = True
                 self._a_walk_in = float(door.angle)
+                self.schedule.insert_template(
+                    GAIT_LIBRARY[sc.walk_gait], t, t + 60.0)
+            if (phase == "coast" and sc.trot_on_release
+                    and sc.trot_at == "coast" and not self._walking):
+                # step BEFORE the release: the push leaves the base moving
+                # forward past the front feet (see trot_at docstring) — the
+                # trot starts catching that momentum while the grip fades,
+                # so the let-go happens mid-step instead of from a
+                # statically-unstable stance
+                self._walking = True
                 self.schedule.insert_template(
                     GAIT_LIBRARY[sc.walk_gait], t, t + 60.0)
             if phase == "done" and self._x_done is None:
