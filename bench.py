@@ -140,6 +140,45 @@ def main():
     print(f"mean violation after {reps} reps: {viol:.2e}", file=sys.stderr, flush=True)
 
     solves_per_s = b * reps / elapsed
+
+    # --- scaling report block (BASELINE.md "report 1 chip / 1 host / N hosts")
+    # Real multi-chip hardware is absent here; the standing artifact is
+    # (a) the measured 1-chip number above, (b) a weak-scaling run of the
+    # SAME sharded BatchedMpc path on a virtual 8-device CPU mesh
+    # (tools/scaling_probe.py, subprocess — the TPU process cannot host the
+    # CPU mesh), and (c) a bandwidth-ratio projection to the v5p-16 target
+    # machine. The hardware numbers drop into this block the moment chips
+    # exist. QM_BENCH_SCALING=0 skips the probe.
+    scaling = {
+        "one_chip_solves_per_s": round(solves_per_s, 1),
+        "one_chip_device": str(jax.devices()[0]),
+        "multi_host_dcn": "hardware-unavailable (2-process DCN correctness: tests/test_multihost.py)",
+    }
+    if os.environ.get("QM_BENCH_SCALING", "1") == "1":
+        import subprocess
+
+        try:
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            out = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(__file__),
+                                              "tools", "scaling_probe.py")],
+                capture_output=True, text=True, timeout=900, env=env,
+            )
+            scaling["weak_scaling_cpu_mesh"] = json.loads(
+                out.stdout.strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001 - report, never fail the bench
+            scaling["weak_scaling_cpu_mesh"] = {"error": repr(e)[:200]}
+    # v5p-16 projection: the SQP step is HBM-bandwidth-bound at ~937 GB/s
+    # achieved on this v5e (docs/PERF.md roofline), so per-chip throughput
+    # projects with the HBM ratio (v5p 2765 / v5e 810 GB/s nominal); the
+    # v5p-16 slice has 8 chips; 0.85 = BASELINE.md's multi-host efficiency
+    # floor applied as the scaling discount.
+    hbm_ratio = 2765.0 / 810.0
+    scaling["v5p16_projection_solves_per_s"] = round(
+        solves_per_s * hbm_ratio * 8 * 0.85)
+    scaling["v5p16_projection_basis"] = (
+        "HBM-bound step: v5e measured x (2765/810 GB/s) x 8 chips x 0.85")
+
     result = {
         "metric": "mpc_solves_per_s",
         "value": round(solves_per_s, 1),
@@ -154,6 +193,7 @@ def main():
         "config": "quad_only" if quad_only else "combined",
         "mean_violation": viol,
         "device": str(jax.devices()[0]),
+        "scaling": scaling,
     }
     print(json.dumps(result))
 

@@ -205,6 +205,13 @@ def riccati_backward_fused(A, B, d, lx, lu, lxx, luu, lux, lxx_f, lx_f,
             pltpu.VMEM((nx, nx, bt), dtype),
             pltpu.VMEM((nx, bt), dtype),
         ],
+        # The default 16 MB scoped-VMEM budget is 1.02 MB short for this
+        # kernel at bt=128 (production shapes: 8 node blocks double-buffered
+        # + carry scratch + the unrolled contraction/Cholesky live temps);
+        # the v5e has 128 MB of VMEM, so raise the kernel's budget instead
+        # of halving the batch tile (a 64-lane tile pads back to 128 lanes
+        # and wastes half the bandwidth).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(At, Bt_, dt_, lxt, lut, lxxt, luut, luxt, lxxf_t, lxf_t)
 

@@ -56,7 +56,16 @@ class ClosedLoopRunner:
         solver: Optional[SqpSolver] = None,
         estimator: str = "ground_truth",  # or "kalman" (IMU + leg odometry KF)
         separated: bool = False,  # separated-system WBC (the reference's ss/ launch set)
+        sensor_noise: Optional[dict] = None,
+        noise_seed: int = 0,
     ):
+        """``sensor_noise`` (kalman estimator only): Gaussian noise std-devs
+        injected on the synthesized sensor readings each physics step —
+        keys "gyro" (rad/s), "acc" (m/s^2), "zyx" (rad, the IMU attitude
+        estimate), "enc_q" (rad), "enc_v" (rad/s); missing keys are 0.
+        ``sensor_noise="default"`` uses consumer-IMU-grade magnitudes. This
+        exercises the KF under its actual operating conditions (the ground
+        truth estimator never sees noise by construction)."""
         self.model = model
         self.cfg = cfg
         self.sim_cfg = sim_cfg
@@ -71,6 +80,11 @@ class ClosedLoopRunner:
         self.control_decimation = control_decimation
         self.mpc_decimation = mpc_decimation
         self.estimator = estimator
+        if sensor_noise == "default":
+            sensor_noise = {"gyro": 0.005, "acc": 0.1, "zyx": 0.002,
+                            "enc_q": 5e-4, "enc_v": 0.01}
+        self.sensor_noise = sensor_noise
+        self.noise_seed = noise_seed
 
     def _phase_heights(self, targets, feet_xy, t_now):
         """Terrain-aware per-phase swing heights for the SwingTrajectoryPlanner
@@ -126,6 +140,7 @@ class ClosedLoopRunner:
             kf = KalmanFilterEstimate(model)
             kf.reset(sim.q)
             self._imu_from_state = imu_from_state
+            self._noise_rng = np.random.default_rng(self.noise_seed)
         v_prev = sim.v
         rbd_est = measured_rbd(model, sim)
 
@@ -204,6 +219,16 @@ class ClosedLoopRunner:
                 zyx, omega_w, acc_body = self._imu_from_state(
                     model, sim.q, sim.v, a_w
                 )
+                enc_q, enc_v = sim.q[6:24], sim.v[6:24]
+                if self.sensor_noise:
+                    sn = self.sensor_noise
+                    nrm = lambda k, n: self._noise_rng.normal(
+                        size=n) * sn.get(k, 0.0)
+                    zyx = zyx + nrm("zyx", 3)
+                    omega_w = omega_w + nrm("gyro", 3)
+                    acc_body = acc_body + nrm("acc", 3)
+                    enc_q = enc_q + nrm("enc_q", 18)
+                    enc_v = enc_v + nrm("enc_v", 18)
                 kf_flags = jnp.asarray(
                     self.schedule.contact_flags_at((step + 1) * dt),
                     dtype=x_init.dtype,
@@ -218,7 +243,7 @@ class ClosedLoopRunner:
                     self.sim_cfg.terrain_params,
                 )
                 rbd_est = kf.update(
-                    zyx, omega_w, acc_body, sim.q[6:24], sim.v[6:24],
+                    zyx, omega_w, acc_body, enc_q, enc_v,
                     kf_flags, dt, terrain_height=th,
                 )
 

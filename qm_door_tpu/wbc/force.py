@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..models.model import RobotModel
 from . import tasks as T
-from .hoqp import Task, solve_hierarchy
+from .hoqp import Task, solve_hierarchy, solve_hierarchy_batched
 from .wbc import WbcState
 
 N_DEC_FT = 42
@@ -107,6 +107,24 @@ def hierarchical_wbc_ft(model: RobotModel, wbc_cfg, state_desired,
             f"wrench_priority must be 0 (pinned with the EoM) or 2 (legacy "
             f"contact-force slot), got {wrench_priority!r}")
     qp_iters = wbc_cfg.qp_iterations if qp_iters is None else qp_iters
+    data, tasks = ft_tasks(
+        model, wbc_cfg, state_desired, input_desired, rbd_measured,
+        contact_flags, grasp, wbc_state, period,
+        wrench_priority=wrench_priority,
+    )
+    x_opt = solve_hierarchy(tasks, qp_iters=qp_iters)
+    tau = compute_torque_ft(data, x_opt)
+    cmd = jnp.concatenate([x_opt, tau])
+    return cmd, WbcState(input_last=input_desired)
+
+
+def ft_tasks(model: RobotModel, wbc_cfg, state_desired, input_desired,
+             rbd_measured, contact_flags, grasp, wbc_state: WbcState, period,
+             wrench_priority: int = 0):
+    """Pure force-tracking task formulation (no QP solve): returns
+    (data, [T0, T1, T2]) so batched callers can vmap it and hand the stacked
+    tasks to :func:`..hoqp.solve_hierarchy_batched` (the same split
+    wbc.combined_tasks provides for the nominal 36-var stack)."""
     data = T.build_wbc_data(
         model, state_desired, input_desired, rbd_measured, contact_flags,
         wbc_state.input_last, period,
@@ -146,8 +164,38 @@ def hierarchical_wbc_ft(model: RobotModel, wbc_cfg, state_desired,
     task2_parts.append(
         pad_cols(T.base_linear_motion_task(data, wbc_cfg.base_linear_kp, wbc_cfg.base_linear_kd)))
     task2 = T.concat_tasks(*task2_parts)
+    return data, [task0, task1, task2]
 
-    x_opt = solve_hierarchy([task0, task1, task2], qp_iters=qp_iters)
-    tau = compute_torque_ft(data, x_opt)
-    cmd = jnp.concatenate([x_opt, tau])
+
+def hierarchical_wbc_ft_batched(model: RobotModel, wbc_cfg, state_desired,
+                                input_desired, rbd_measured, contact_flags,
+                                grasp, wbc_state: WbcState, period,
+                                qp_iters=None, wrench_priority: int = 0,
+                                backend: str | None = None):
+    """Batch-major force-tracking WBC tick: per-robot arguments carry a
+    leading batch axis (state (B,30), input (B,36), rbd (B,55), flags (B,4),
+    grasp (B,), input_last (B,36)). Task formulation is vmapped; the 42-var
+    cascade runs batch-major through the slack-condensed PDIP on the Pallas
+    SPD kernel — the vmapped route left 90+ batched XLA cho_factor calls per
+    tick on the door scenario's critical path (docs/PERF.md, WBC table ft
+    row). Returns (cmd (B,60), new_wbc_state)."""
+    import jax
+
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    qp_iters = wbc_cfg.qp_iterations if qp_iters is None else qp_iters
+
+    def build(x_d, u_d, rbd, flags, g, il):
+        return ft_tasks(
+            model, wbc_cfg, x_d, u_d, rbd, flags, g,
+            WbcState(input_last=il), period, wrench_priority=wrench_priority,
+        )
+
+    data, tasks = jax.vmap(build)(
+        state_desired, input_desired, rbd_measured, contact_flags, grasp,
+        wbc_state.input_last,
+    )
+    x_opt = solve_hierarchy_batched(tasks, qp_iters=qp_iters, backend=backend)
+    tau = jax.vmap(compute_torque_ft)(data, x_opt)
+    cmd = jnp.concatenate([x_opt, tau], axis=-1)
     return cmd, WbcState(input_last=input_desired)

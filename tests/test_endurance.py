@@ -80,3 +80,30 @@ def test_stance_arm_task_ten_seconds(mpc_stack):
     log = runner.run(_targets(model, cfg, ee_offset=(0.12, 0.0, 0.05)),
                      duration=DURATION)
     _assert_bounded(log)
+
+
+@pytest.mark.slow
+def test_trot_ten_seconds_kalman_noisy(mpc_stack):
+    """10 s trot closed on the KALMAN estimator with injected IMU/encoder
+    noise (round-4 verdict item 5): the KF (estimation/kalman.py) must hold
+    the same whole-window bounds as the ground-truth loop under its actual
+    operating conditions — synthesized gyro/accel/attitude/encoder readings
+    with consumer-IMU-grade Gaussian noise, never a ground-truth state.
+    (The reference ships only ground truth, FromTopiceEstimate.cpp; the KF
+    is a claimed capability beyond it, so it gets the same endurance bar.)"""
+    model, cfg0, ocp, solver, x0, targets0 = mpc_stack
+    cfg = default_config()
+    cfg.controller.leg_pd_start_time = -1.0
+    cfg.wbc.arm_init_time = -1.0
+    sched = GaitSchedule()
+    sched.insert_template(GAIT_LIBRARY["trot"], 0.0, DURATION + 5.0)
+    runner = ClosedLoopRunner(model, cfg, schedule=sched, solver=solver,
+                              estimator="kalman", sensor_noise="default")
+    log = runner.run(_targets(model, cfg), duration=DURATION)
+    # estimator error adds real disturbance: keep the attitude bound but
+    # allow the noisy loop a slightly larger violation tail than the clean
+    # ground-truth run (the KF innovation enters the MPC as a state jump
+    # every cycle)
+    _assert_bounded(log, viol_tail=5e-3)
+    base = np.stack(log.base_pose)
+    assert np.abs(base[-1, 0:2]).max() < 0.25, base[-1, 0:2]

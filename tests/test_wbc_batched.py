@@ -201,3 +201,48 @@ def test_slack_qp_empty_groups():
     ref = np.stack([np.linalg.solve(np.asarray(Hz[b]), -np.asarray(cz[b]))
                     for b in range(B)])
     np.testing.assert_allclose(np.asarray(z_u), ref, rtol=1e-6, atol=1e-8)
+
+
+def test_hierarchical_wbc_ft_batched_matches_vmap(rng):
+    """42-var force-tracking tick: batch-major == vmapped (f64 bit-faithful)."""
+    from qm_door_tpu.models import aliengo_z1
+    from qm_door_tpu.wbc.force import hierarchical_wbc_ft, hierarchical_wbc_ft_batched
+
+    dtype = jnp.float64
+    model = aliengo_z1(dtype=dtype)
+    cfg = default_config()
+    B = 3
+    x0 = jnp.asarray(cfg.initial_state(), dtype=dtype)
+    xs = jnp.asarray(
+        np.asarray(x0)[None] + rng.normal(size=(B, 30)) * 0.01, dtype=dtype)
+    flags = jnp.asarray([1.0, 0.0, 0.0, 1.0], dtype=dtype)
+    u_des = centroidal.weight_compensating_input(model, flags)
+    u_ft = jnp.concatenate(
+        [u_des, jnp.asarray([5.0, 0.0, 0.0, 0.0, 0.0, 0.5], dtype=dtype)])
+    us = jnp.tile(u_ft[None], (B, 1))
+    rbds = jnp.stack([
+        centroidal.rbd_from_generalized(
+            model, centroidal.pinocchio_q(xs[i]), jnp.zeros(24, dtype=dtype))
+        for i in range(B)
+    ])
+    flagss = jnp.tile(flags[None], (B, 1))
+    grasp = jnp.asarray([1.0, 0.0, 1.0], dtype=dtype)
+
+    def one(x, u, r, f, g):
+        cmd, _ = hierarchical_wbc_ft(
+            model, cfg.wbc, x, u, r, f, g,
+            WbcState.init(dtype=dtype, nu=36), 0.002,
+        )
+        return cmd
+
+    cmd_ref = jax.vmap(one)(xs, us, rbds, flagss, grasp)
+    state = WbcState(input_last=jnp.zeros((B, 36), dtype=dtype))
+    cmd_b, _ = hierarchical_wbc_ft_batched(
+        model, cfg.wbc, xs, us, rbds, flagss, grasp, state, 0.002,
+        backend="xla",
+    )
+    assert cmd_b.shape == (B, 60)
+    assert bool(jnp.isfinite(cmd_b).all())
+    scale = np.maximum(np.abs(np.asarray(cmd_ref)), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(cmd_b) / scale, np.asarray(cmd_ref) / scale, atol=1e-6)

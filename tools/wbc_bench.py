@@ -5,9 +5,10 @@ here B ticks solve in parallel).
 
 Usage: QM_WBC_BATCH=512 QM_WBC_MODE=batched python tools/wbc_bench.py
   QM_WBC_MODE: "batched" (batch-major cascade on the Pallas SPD kernel,
-  production path), "vmap" (per-robot cascade vmapped, reference path), or
-  "ft" (42-var force-tracking stack, wbc/force.py, vmapped — the door
-  scenario's per-tick cost).
+  production path), "vmap" (per-robot cascade vmapped, reference path),
+  "ft" (42-var force-tracking stack batch-major on the slack-condensed
+  Pallas path — the door scenario's per-tick cost), or "ft_vmap" (the
+  pre-condensation vmapped ft route, kept for A/B).
 """
 import json
 import os
@@ -46,6 +47,23 @@ def main():
     flagss = jnp.tile(flags[None], (b, 1))
 
     if mode == "ft":
+        # Batch-major 42-var force-tracking cascade (slack-condensed PDIP on
+        # the Pallas SPD kernel) — the door scenario's production per-tick
+        # path since round 5; "ft_vmap" keeps the pre-condensation route.
+        from qm_door_tpu.wbc.force import hierarchical_wbc_ft_batched
+
+        u_ft = jnp.concatenate([u_des, jnp.zeros(6, dtype=dtype)])
+        us = jnp.tile(u_ft[None], (b, 1))
+
+        @jax.jit
+        def batched_tick(xs, us, rbds, flagss):
+            state = WbcState(input_last=jnp.zeros((xs.shape[0], 36), dtype=dtype))
+            cmd, _ = hierarchical_wbc_ft_batched(
+                model, cfg.wbc, xs, us, rbds, flagss,
+                jnp.ones(xs.shape[0], dtype=dtype), state, 0.002,
+            )
+            return cmd
+    elif mode == "ft_vmap":
         from qm_door_tpu.wbc.force import hierarchical_wbc_ft
 
         u_ft = jnp.concatenate([u_des, jnp.zeros(6, dtype=dtype)])
