@@ -86,9 +86,13 @@ def main():
     # small-matmul pipeline fits HBM unchunked now, and lax.map chunking
     # (serialized fused mega-kernels) measured 4x slower after the rewrite
     cfg.sqp.lin_chunk = int(os.environ.get("QM_BENCH_LIN_CHUNK", "0"))
-    # Linesearch candidate count (semantics knob — 4 matches OCS2's grid;
-    # 1 bounds the early-exit ceiling for perf triage).
-    cfg.sqp.linesearch_steps = int(os.environ.get("QM_BENCH_LS", "4"))
+    # Linesearch candidate count. 4 matches OCS2's grid; 2 (serving default)
+    # measured the SAME converged violation (1.493e-6 vs 1.485e-6, 20 reps)
+    # at +2.3% throughput — at the warm-started fixed point alpha=1 is
+    # always accepted and the extra candidates are pure bandwidth. 1 is
+    # WORSE on both axes (no fallback: rejected steps poison the iterate,
+    # violation 6e-4 and slower) — keep the one fallback candidate.
+    cfg.sqp.linesearch_steps = int(os.environ.get("QM_BENCH_LS", "2"))
     cfg.sqp.riccati_unroll = int(os.environ.get("QM_BENCH_UNROLL", "1"))
     # bf16 AD tangent sweep is the TPU serving default (exact f32 defects,
     # bf16 Jacobians; see config.SqpSettings.lin_tangents): 4509 -> 5875

@@ -72,13 +72,18 @@ def _spd_kernel(a_ref, y_ref, x_ref, *, n, shift):
     x_ref[:] = _chol_solve_t(Lt, y_ref[:], n)
 
 
-@partial(jax.jit, static_argnames=("interpret", "shift", "batch_tile"))
+@partial(jax.jit, static_argnames=("interpret", "shift", "batch_tile",
+                                   "vmem_limit_mb"))
 def spd_solve(A, Y, shift: float = 0.0, interpret: bool = False,
-              batch_tile: int = BATCH_TILE):
+              batch_tile: int = BATCH_TILE, vmem_limit_mb: int | None = None):
     """Solve A X = Y for a batch of SPD matrices.
 
     A: (B, n, n); Y: (B, n, m). Returns X (B, n, m). ``shift`` adds a
-    diagonal Levenberg term before factorization.
+    diagonal Levenberg term before factorization. ``vmem_limit_mb`` raises
+    the kernel's scoped-VMEM budget past the 16 MB default (the v5e has
+    128 MB): the unrolled substitution temps exceed it for Gram systems
+    k > ~52 even at RHS chunk 8 (the 42-var force-tracking WBC's k = 58
+    null-projector solve measured 18.04 MB of kernel stack at batch 512).
     """
     B, n, _ = A.shape
     m = Y.shape[-1]
@@ -104,6 +109,9 @@ def spd_solve(A, Y, shift: float = 0.0, interpret: bool = False,
             pl.BlockSpec((n, m, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n, m, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        compiler_params=(None if vmem_limit_mb is None else
+                         pltpu.CompilerParams(
+                             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)),
         interpret=interpret,
     )(At, Yt)
 

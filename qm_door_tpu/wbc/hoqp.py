@@ -203,10 +203,16 @@ def _spd_solve_b(M, Y, shift: float, backend: str):
         # (batch-1536 closed-loop compile, round-4 bisect) — halve the
         # chunk for the large null-projector Gram systems.
         ch = 16 if M.shape[-1] <= 48 else 8
+        # k > 52: even ch=8 overruns the default 16 MB scoped-VMEM budget
+        # (ft stack's 58x58 null-projector Gram measured 18.04 MB of kernel
+        # stack); raise the kernel budget instead of shrinking further
+        vmem = 32 if M.shape[-1] > 52 else None
         if mcols <= ch:
-            return spd_solve(M, Y, shift=shift, batch_tile=128)
+            return spd_solve(M, Y, shift=shift, batch_tile=128,
+                             vmem_limit_mb=vmem)
         outs = [
-            spd_solve(M, Y[..., i:i + ch], shift=shift, batch_tile=128)
+            spd_solve(M, Y[..., i:i + ch], shift=shift, batch_tile=128,
+                      vmem_limit_mb=vmem)
             for i in range(0, mcols, ch)
         ]
         return jnp.concatenate(outs, axis=-1)

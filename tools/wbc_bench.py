@@ -102,13 +102,17 @@ def main():
 
     t0 = time.time()
     out = batched_tick(xs, us, rbds, flagss)
-    jax.block_until_ready(out)
+    _ = float(out[0, 0])  # scalar device-get: real sync (see docs/PERF.md r5
+    # measurement gotcha — identical repeated dispatches + block_until_ready
+    # report sub-RTT times through the axon tunnel)
     compile_s = time.time() - t0
 
     t0 = time.time()
-    for _ in range(reps):
+    for _i in range(reps):
+        # serial dependence: each rep's input carries the previous output
+        xs = xs + 1e-9 * out[:, :30]
         out = batched_tick(xs, us, rbds, flagss)
-    jax.block_until_ready(out)
+    _ = float(out[0, 0])
     elapsed = time.time() - t0
 
     finite = bool(jnp.isfinite(out).all())
