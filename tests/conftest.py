@@ -16,9 +16,23 @@ import jax
 # interpreter start, so the env var alone is not enough — override the config.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# NOTE: do not enable the persistent compilation cache here — concurrent
-# writers SIGABRT inside put_executable_and_time on this image (and the AOT
-# entries fail machine-feature validation on reload anyway).
+# Persistent compile cache, PER XDIST WORKER: the SIGABRT this note used to
+# forbid came from concurrent writers sharing one cache directory; giving
+# each worker its own directory removes the concurrency entirely (the
+# single-writer flock in utils/compile_cache.py then always succeeds).
+# pytest.ini pins --dist loadfile, so the file -> worker assignment — and
+# with it the cache locality — is stable across runs: warm reruns skip the
+# multi-minute XLA compiles that dominate the suite (VERDICT r4 item 8).
+# The AOT machine-feature warning on reload is cosmetic for same-host reuse
+# (measured in docs/PERF.md, round-2 additions). QM_NO_COMPILE_CACHE=1
+# opts out.
+if os.environ.get("QM_NO_COMPILE_CACHE") != "1":
+    from qm_door_tpu.utils.compile_cache import enable_persistent_cache
+
+    _worker = os.environ.get("PYTEST_XDIST_WORKER", "solo")
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests",
+                     _worker))
 
 import numpy as np
 import pytest

@@ -84,10 +84,30 @@ def test_arm_lock_batched_matches_per_node(model, quad_setup, rng):
     plq_v = jax.vmap(
         lambda lqk, Uk: tr.project_ocp(lqk, stage, Uk, arm_locked=True)
     )(lq, U)
-    for name in ("A", "B", "d", "lx", "lu", "lxx", "luu", "lux", "p", "Pu", "Px"):
+    for name in ("A", "B", "d", "lx", "lu", "lxx", "luu", "lux", "p"):
         np.testing.assert_allclose(
             np.asarray(getattr(plq_b, name)), np.asarray(getattr(plq_v, name)),
             atol=1e-9, err_msg=name)
+    # the batched path carries the STRUCTURED recovery blocks (P, Px_v,
+    # force_mask) instead of materializing dense Pu/Px (transcription.
+    # _apply_projection_structured); compare against the per-node dense form
+    Pu_d = np.asarray(plq_v.Pu)
+    Px_d = np.asarray(plq_v.Px)
+    fm = np.asarray(plq_b.force_mask)
+    np.testing.assert_allclose(
+        Pu_d[..., 0:12, 0:12],
+        fm[..., None] * np.eye(12), atol=1e-9, err_msg="Pu force block")
+    np.testing.assert_allclose(
+        Pu_d[..., 12:30, 12:30], np.asarray(plq_b.P), atol=1e-9,
+        err_msg="Pu joint-velocity block")
+    np.testing.assert_allclose(
+        Pu_d[..., 0:12, 12:30], 0.0, atol=1e-9, err_msg="Pu off-diag")
+    np.testing.assert_allclose(
+        Pu_d[..., 12:30, 0:12], 0.0, atol=1e-9, err_msg="Pu off-diag")
+    np.testing.assert_allclose(
+        Px_d[..., 12:30, :], np.asarray(plq_b.Px_v), atol=1e-9, err_msg="Px_v")
+    np.testing.assert_allclose(
+        Px_d[..., 0:12, :], 0.0, atol=1e-9, err_msg="Px force rows")
 
 
 def test_quad_only_trot_solve(model, quad_setup):
