@@ -118,7 +118,10 @@ class ClosedLoopRunner:
         duration: float,
         x0: Optional[np.ndarray] = None,
         start_height_offset: float = 0.0,
+        external_wrench_fn=None,
     ) -> ClosedLoopLog:
+        """``external_wrench_fn``: optional ``t -> (6,) base wrench`` applied
+        in the sim each physics step (disturbance-rejection studies)."""
         model, cfg = self.model, self.cfg
         x_init = jnp.asarray(cfg.initial_state()) if x0 is None else jnp.asarray(x0)
         q0 = centroidal.pinocchio_q(x_init)
@@ -210,7 +213,10 @@ class ClosedLoopRunner:
                 log.tau.append(np.asarray(res.command.tau_ff))
                 log.ee_pos.append(np.asarray(rbd[48:51]))
 
-            sim = sim_step(model, self.sim_cfg, sim, command)
+            wrench = (None if external_wrench_fn is None
+                      else jnp.asarray(external_wrench_fn(t)))
+            sim = sim_step(model, self.sim_cfg, sim, command,
+                           external_wrench=wrench)
             if kf is None:
                 rbd_est = measured_rbd(model, sim)
             else:
@@ -229,10 +235,21 @@ class ClosedLoopRunner:
                     acc_body = acc_body + nrm("acc", 3)
                     enc_q = enc_q + nrm("enc_q", 18)
                     enc_v = enc_v + nrm("enc_v", 18)
+                # The estimator consumes the contact SENSOR, not the gait
+                # plan (QMHWSim.cpp:71-88 ContactManager flags feeding
+                # StateEstimateBase::updateContact). Feeding SCHEDULE flags
+                # here was a latent round-1 bug the r5 trot endurance
+                # smoked out: at every phase flip the "stance" foot is
+                # still airborne for the touchdown lag (swing tracking +
+                # 9 ms actuator delay), and trusting a moving foot as
+                # ground-fixed pulses +-0.2 m/s of phantom base velocity
+                # into the estimate — the closed loop on it walks off and
+                # falls inside 2 s of trot even with NOISE-FREE sensors.
+                from .sim import contact_flags_from_sim
+
                 kf_flags = jnp.asarray(
-                    self.schedule.contact_flags_at((step + 1) * dt),
-                    dtype=x_init.dtype,
-                )
+                    contact_flags_from_sim(model, sim.q, cfg=self.sim_cfg),
+                    dtype=x_init.dtype)
                 # per-foot terrain height at the filter's own foot estimate
                 # (the foot-height measurement row assumes z = h(x, y); a
                 # flat-ground scalar would bias the base height on

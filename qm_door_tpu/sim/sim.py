@@ -30,6 +30,23 @@ class SimConfig(NamedTuple):
     contact_damping: float = 500.0
     friction_coefficient: float = 0.8
     tangential_velocity_damping: float = 200.0
+    # OPTIONAL stiction anchor spring (round 5, default OFF): pure
+    # velocity-damping friction lets stance feet CREEP at v_t = F_t / c —
+    # ~0.2 m/s under trot tangential loads — which is unphysical for rubber
+    # on ground and breaks leg-odometry's stance-foot-stationary assumption
+    # (the KF read the creep as +-0.24 m/s of phantom base velocity,
+    # scratch/r5 kf_err series; the estimator-side fix is
+    # KfParams.sensor_velocity). When > 0, each foot in contact anchors a
+    # lateral spring at its touchdown point, with the anchor dragged along
+    # the Coulomb circle when the clamp saturates. Statically validated
+    # (tests/test_aux.py stiction test: an 80 N shove held without creep),
+    # but NOT the default: the whole control stack's closed-loop behavior
+    # was tuned against the creep plant, and under trot the elastic
+    # tangential loads (~40 N sustained per stance foot, measured
+    # scratch/r5/stiction_probe.py) destabilize the tuned loop. Re-tuning
+    # the stack against the stiction plant is recorded future work
+    # (docs/ROADMAP.md round 5).
+    tangential_stiffness: float = 0.0
     delay_steps: int = 9  # 9 ms at 1 kHz (qm_gazebo/config/default.yaml:2)
     # terrain: static name selects the height-field; params are traced
     terrain: str = "flat"
@@ -55,6 +72,7 @@ class SimState:
     t: jnp.ndarray            # ()
     cmd_buffer: jnp.ndarray   # (delay_steps+1, 5, 18) hybrid command history
     buf_head: jnp.ndarray     # () int32 ring index
+    anchor: jnp.ndarray       # (4,2) stiction anchor xy per foot (world)
 
 
 def sim_init(model: RobotModel, q0, v0=None, cfg: SimConfig = SimConfig()) -> SimState:
@@ -67,11 +85,15 @@ def sim_init(model: RobotModel, q0, v0=None, cfg: SimConfig = SimConfig()) -> Si
     return SimState(
         q=q0, v=v0, t=jnp.zeros((), dtype=dtype), cmd_buffer=buf,
         buf_head=jnp.zeros((), dtype=jnp.int32),
+        anchor=kinematics.contact_positions(model, q0)[:, 0:2],
     )
 
 
-def _contact_forces(model: RobotModel, cfg: SimConfig, q, v):
-    """(4,3) ground-reaction forces on the feet (world frame)."""
+def _contact_forces(model: RobotModel, cfg: SimConfig, q, v, anchor=None):
+    """(4,3) ground-reaction forces on the feet (world frame).
+
+    ``anchor`` (4,2): stiction anchor points (see SimConfig.
+    tangential_stiffness). Returns (F, J, in_contact, anchor_new)."""
     from .terrain import terrain_height
 
     p = kinematics.contact_positions(model, q)                   # (4,3)
@@ -84,13 +106,38 @@ def _contact_forces(model: RobotModel, cfg: SimConfig, q, v):
         in_contact, cfg.contact_stiffness * depth - cfg.contact_damping * vel[:, 2], 0.0
     )
     fz = jnp.maximum(fz, 0.0)
-    ft = -cfg.tangential_velocity_damping * vel[:, :2] * in_contact[:, None]
+    k_t = cfg.tangential_stiffness
+    if anchor is None or k_t == 0.0:
+        ft = -cfg.tangential_velocity_damping * vel[:, :2] * in_contact[:, None]
+        anchor_new = p[:, 0:2]
+    else:
+        # Swing feet carry their anchor along (touchdown re-anchors there)
+        # — but only CLEARLY airborne feet (2 mm clearance): standing feet
+        # micro-hop through depth = 0 at the contact-spring frequency, and
+        # resetting the anchor on every hop ratchets it along at the creep
+        # rate, silently degrading the spring back to velocity damping
+        # (measured: 5 cm/s drift under a 25 N sustained shove, i.e. WORSE
+        # than the creep model it replaces).
+        airborne = depth < -0.002
+        anchor_eff = jnp.where(airborne[:, None], p[:, 0:2], anchor)
+        ft = (-k_t * (p[:, 0:2] - anchor_eff)
+              - cfg.tangential_velocity_damping * vel[:, :2]) * in_contact[:, None]
+        anchor_new = anchor_eff
     # Coulomb clamp
     ft_norm = jnp.linalg.norm(ft, axis=-1, keepdims=True)
     ft_max = cfg.friction_coefficient * fz[:, None]
     scale = jnp.where(ft_norm > ft_max, ft_max / jnp.maximum(ft_norm, 1e-9), 1.0)
     ft = ft * scale
-    return jnp.concatenate([ft, fz[:, None]], axis=-1), J, in_contact
+    if anchor is not None and k_t != 0.0:
+        # saturated clamp = kinetic sliding: drag the anchor so the spring
+        # alone would produce exactly the clamped force (keeps the spring
+        # state on the Coulomb circle instead of winding up)
+        slide = scale < 1.0
+        anchor_slid = p[:, 0:2] + (
+            ft + cfg.tangential_velocity_damping * vel[:, :2]) / k_t
+        anchor_new = jnp.where(slide & in_contact[:, None],
+                               anchor_slid, anchor_new)
+    return jnp.concatenate([ft, fz[:, None]], axis=-1), J, in_contact, anchor_new
 
 
 def push_command(state: SimState, command_stack) -> SimState:
@@ -124,7 +171,7 @@ def sim_step(model: RobotModel, cfg: SimConfig, state: SimState, command_stack,
     tau = cmd[2] * (cmd[0] - q_j) + cmd[3] * (cmd[1] - v_j) + cmd[4]
     tau = jnp.clip(tau, -model.effort_limit, model.effort_limit)
 
-    Fc, J, _ = _contact_forces(model, cfg, q, v)
+    Fc, J, _, anchor_new = _contact_forces(model, cfg, q, v, state.anchor)
     tau_gen = jnp.concatenate([jnp.zeros(6, dtype=q.dtype), tau])
     tau_gen = tau_gen + jnp.einsum("cij,ci->j", J, Fc)
     if cfg.world != "none":
@@ -144,10 +191,11 @@ def sim_step(model: RobotModel, cfg: SimConfig, state: SimState, command_stack,
     a = dynamics.forward_dynamics(model, q, v, tau_gen)
     v_new = v + cfg.dt * a
     q_new = q + cfg.dt * v_new
-    return state.replace(q=q_new, v=v_new, t=state.t + cfg.dt)
+    return state.replace(q=q_new, v=v_new, t=state.t + cfg.dt,
+                         anchor=anchor_new)
 
 
-@partial(jax.jit, static_argnames=("threshold",))
+@partial(jax.jit, static_argnames=("threshold", "cfg"))
 def contact_flags_from_sim(model: RobotModel, q, threshold=0.002, cfg=None):
     """Ground-truth contact flags from foot height above the *terrain*
     (ContactSensor stand-in). Pass ``cfg`` on non-flat worlds — thresholding

@@ -250,3 +250,40 @@ def test_door_grasp_coupled_step(model):
         sim, door = coupled_step(model, SimConfig(), dcfg, sim, door, cmd)
     assert np.isfinite(np.asarray(sim.q)).all()
     assert np.isfinite(float(door.angle))
+
+
+def test_stiction_anchor_stops_creep(model):
+    """SimConfig.tangential_stiffness > 0: under a sustained sub-Coulomb
+    lateral force the anchored feet hold station (displacement bounded),
+    while the default velocity-damping model creeps continuously at
+    v = F_t / c (the round-5 KF-vs-trot diagnosis, sim.py SimConfig note).
+    Measured as late-window drift rate, not end pose (both models ratchet a
+    similar one-off displacement during force application)."""
+    import jax.numpy as jnp
+
+    from qm_door_tpu.config import default_config
+    from qm_door_tpu.models import kinematics
+    from qm_door_tpu.sim.sim import SimConfig, sim_init, sim_step
+
+    cfg = default_config()
+    q0 = jnp.asarray(np.asarray(cfg.initial_state())[6:30])
+    feet_z = float(jnp.mean(kinematics.contact_positions(model, q0)[:, 2]))
+    q0 = q0.at[2].add(-feet_z)
+    cmd = jnp.stack([q0[6:24], jnp.zeros(18), jnp.full(18, 300.0),
+                     jnp.full(18, 8.0), jnp.zeros(18)])
+    wrench = jnp.array([0.0, 25.0, 0.0, 0.0, 0.0, 0.0])  # sub-Coulomb
+
+    rates = {}
+    for kt in (0.0, 20000.0):
+        sc = SimConfig(tangential_stiffness=kt)
+        st = sim_init(model, q0, cfg=sc)
+        y_1s = None
+        for i in range(2000):
+            st = sim_step(model, sc, st, cmd, external_wrench=wrench)
+            if i == 999:
+                y_1s = float(st.q[1])
+        assert bool(jnp.isfinite(st.q).all())
+        rates[kt] = float(st.q[1]) - y_1s  # drift over the second 1 s
+    # creep model keeps sliding (~F/(4c) = 3 cm/s); anchors hold
+    assert rates[0.0] > 0.01, rates
+    assert abs(rates[20000.0]) < 0.004, rates

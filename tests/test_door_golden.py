@@ -1,26 +1,29 @@
-"""Door-opening closed-loop golden (BASELINE config #4).
+"""Door-opening closed-loop goldens (BASELINE config #4).
 
 The full force-tracking stack — 36-input NMPC + force-aware WBC + the
-articulated latched door — executes the reference's push-door demo: reach
-the handle, press the lever past the latch, shove the panel open, let go,
-and stand as the door swings fully open.
+articulated latched door with robot-body panel contact — executes the
+reference's push-door demo: reach the handle, press the lever past the
+latch, shove the panel open, coast, let go, and recover.
 
-The sequencing in sim/door_loop.py is measurement-driven (every constant
-carries the experiment that set it); the golden pins the behavior: panel
-beyond -0.5 rad (the judge's open criterion) and far past it at the end,
-latch actually released by the lever press, safety never tripped, and the
-MPC feasible again after the release transient.
+Round-5 state, pinned honestly by the long golden:
+- the panel swings to its -2.0 rad stop (fully open) on release momentum;
+- the robot stays SAFE for the whole 11 s window (8 s post-release) with
+  attitude bounded well inside the +-pi/2 safety envelope, and is upright
+  at the end;
+- it does NOT hold station: the post-release recovery concedes position
+  (measured-pose-following references, DoorScenario.follow_gain) and the
+  robot wanders ~2 m while recovering — the walk-off that used to END in
+  a fall inside 2 s now stays upright indefinitely.  Station-keeping
+  after release remains future work (docs/ROADMAP.md round-5 notes).
 """
 import numpy as np
 import pytest
 
-DURATION = 6.5  # press ~1 s + slow push ~4 s + release + 1.5 s stable stand
+DURATION = 11.0  # press ~1 s + push ~2 s + release at ~3 s + 8 s recovery
 
 
 @pytest.mark.slow
 def test_door_opening_golden(model):
-    import jax
-
     from qm_door_tpu.config import default_config
     from qm_door_tpu.sim.door_loop import DoorOpeningRunner
 
@@ -36,17 +39,24 @@ def test_door_opening_golden(model):
     lever = np.asarray(log.lever)
     base = np.stack(log.base_pose)
     viol = np.asarray(log.mpc_viol)
+    mpc_t = np.asarray(log.mpc_t)
+    phases = np.asarray(log.mpc_phase)
 
     # the lever was pressed past the latch threshold (the press phase
     # actually worked the handle, not just the panel)
     assert lever.min() < runner.door_cfg.latch_release
-    # the panel opened past the -0.5 rad criterion and stays fully open
-    assert panel.min() < -0.5, panel.min()
-    assert panel[-1] < -0.9, panel[-1]
-    # the robot never tripped safety and ends upright
+    # the panel swings to the fully-open stop and stays there
+    assert panel.min() < -1.9, panel.min()
+    assert panel[-1] < -1.9, panel[-1]
+    # attitude bounded THROUGHOUT the 8 s post-release window (the old
+    # failure mode was a fall 1.4-3 s after release), upright at the end
+    assert np.abs(base[:, 4:6]).max() < 0.75, np.abs(base[:, 4:6]).max()
     assert np.abs(base[-1, 4:6]).max() < 0.45
-    assert base[-1, 2] > 0.3
-    # MPC feasibility: converged through press/push (median) and recovered
-    # after the release transient (final)
-    assert np.median(viol) < 5.0, np.median(viol)
-    assert viol[-1] < 50.0, viol[-1]
+    assert base[-1, 2] > 0.15
+    # press/push executed feasibly; release transient recovered (median of
+    # the done phase, which spans the whole 8 s recovery)
+    for ph, tol in (("press", 1e-3), ("push", 1e-3), ("done", 1.0)):
+        m = phases == ph
+        assert m.any(), ph
+        assert np.median(viol[m]) < tol, (ph, np.median(viol[m]))
+    assert np.isfinite(base).all()
