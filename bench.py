@@ -64,9 +64,10 @@ def main():
     from qm_door_tpu.utils.compile_cache import enable_persistent_cache
 
     cache_on = enable_persistent_cache()
-    # batch sweep (bf16 tangents, v5e): 256 -> 6240, 512 -> 5875,
-    # 1024 -> 5213 solves/s; 256 is the single-chip throughput knee
-    b = int(os.environ.get("QM_BENCH_BATCH", "256"))
+    # batch sweep (analytic_bf16 linearize, v5e, r5): 256 -> 6872,
+    # 384 -> 6991, 512 -> 6709 solves/s; the knee moved 256 -> 384 when the
+    # analytic linearize shrank the per-solve working set
+    b = int(os.environ.get("QM_BENCH_BATCH", "384"))
     reps = int(os.environ.get("QM_BENCH_REPS", "20"))
 
     from qm_door_tpu.config import default_config, quad_only_config
@@ -94,11 +95,13 @@ def main():
     # violation 6e-4 and slower) — keep the one fallback candidate.
     cfg.sqp.linesearch_steps = int(os.environ.get("QM_BENCH_LS", "2"))
     cfg.sqp.riccati_unroll = int(os.environ.get("QM_BENCH_UNROLL", "1"))
-    # bf16 AD tangent sweep is the TPU serving default (exact f32 defects,
-    # bf16 Jacobians; see config.SqpSettings.lin_tangents): 4509 -> 5875
-    # solves/s at batch 512 with mean violation IMPROVED 1.55e-5 -> 8.1e-7.
-    # QM_BENCH_TANGENTS=f32 reverts. Watch mean_violation for regressions.
-    cfg.sqp.lin_tangents = os.environ.get("QM_BENCH_TANGENTS", "bf16")
+    # Analytic/geometric linearization with bf16 sweeps is the TPU serving
+    # default (closed-form momentum-rate/EE rows + 6-cotangent reverse CMM
+    # pass; exact f32 defects; see config.SqpSettings.lin_tangents):
+    # r5 batch-384 sweep measured 6991 (analytic_bf16) vs 6648 (bf16 AD,
+    # batch 256) vs 6330 (analytic f32) solves/s, mean violation 8.8e-7.
+    # QM_BENCH_TANGENTS=bf16|f32|analytic reverts. Watch mean_violation.
+    cfg.sqp.lin_tangents = os.environ.get("QM_BENCH_TANGENTS", "analytic_bf16")
     backend = os.environ.get("QM_BENCH_BACKEND", "auto")
     ocp = make_ocp_config(model, cfg, dtype=dtype)
     solver = SqpSolver(model, ocp, cfg)

@@ -53,12 +53,21 @@ class SqpSettings:
     # error O(dt^2) — measured equivalent downstream) and saves the second
     # 24-tangent AD sweep; "rk2" = exact OCS2 SensitivityIntegrator behavior
     sensitivity: str = "frozen"
-    # dtype of the AD tangent sweep in the linearization: "bf16" halves the
-    # HBM traffic of the dominant stage (the tangent intermediates are ~99%
-    # of linearize bytes, docs/PERF.md roofline). Defects, constraint
-    # values, and the Gv projection rows stay f32 either way, so the SQP
-    # fixed point is unchanged — a bf16 Jacobian only perturbs the
-    # convergence PATH (inexact Newton). "f32" = exact tangents.
+    # Linearization derivative mode (transcription._node_linearization):
+    #   "f32"  — 21-tangent AD sweep through the full stage-1 graph (exact);
+    #   "bf16" — same sweep with bfloat16 tangents: halves the HBM traffic
+    #            of the dominant stage (the tangent intermediates are ~99%
+    #            of linearize bytes, docs/PERF.md roofline);
+    #   "analytic" — closed-form geometric derivatives (momentum-rate and
+    #            EE rows analytic, 6-cotangent REVERSE pass through the CMM,
+    #            FK-only foot-velocity sweep): no full-graph sweep at all,
+    #            exact to roundoff (tests/test_solver.py);
+    #   "analytic_bf16" — analytic structure with the two remaining small
+    #            sweeps in bf16 (TPU serving default in bench.py: fastest
+    #            measured, r5 6991 solves/s vs 6648 bf16 / 6330 analytic).
+    # Defects, constraint values, and the Gv projection rows stay f32 in
+    # every mode, so the SQP fixed point is unchanged — an inexact Jacobian
+    # only perturbs the convergence PATH (inexact Newton).
     lin_tangents: str = "f32"
     # unroll factor of the batch-major Riccati scans (riccati.py). In-graph
     # the scan carries no per-iteration dispatch cost (that ~0.4 ms shows up

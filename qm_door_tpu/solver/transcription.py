@@ -162,6 +162,103 @@ def _flow_wrench_cols(model, x):
     return jnp.concatenate([lin, ang, zeros], axis=0)
 
 
+def _cast_bf16(tree):
+    """Cast every floating leaf to bfloat16 (a single f32 operand silently
+    promotes a whole chain back to f32)."""
+    bf = jnp.bfloat16
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(bf) if jnp.issubdtype(
+            jnp.asarray(a).dtype, jnp.floating) else a, tree)
+
+
+def _flow_q_jacobian_analytic(model, x, u, sweep: str = "f32"):
+    """Closed-form d(flow)/dq (30, 24) — no tangent sweep through the CMM.
+
+    The flow map's q-dependence decomposes into three analytic pieces
+    (flow = [hdot(6); v_b(6); v_j(18)], models/centroidal.py:flow_map):
+
+    - ``hdot_lin`` rows: q-independent (forces + gravity) — zero.
+    - ``hdot_ang`` rows: d/dq sum_i (p_ci - com) x F_i / m =
+      -(1/m) sum_i skew(F_i) (J_ci - Jcom), with J_ci the foot point
+      Jacobians and Jcom = A[:3]/m (the CMM's linear block IS m dcom/dq in
+      this chart, since P v = m d(com)/dt for every v).
+    - ``v_b`` rows: v_b(q) = A_b^{-1}(m h - A_j v_j), so
+      dv_b/dq = -A_b^{-1} d(A(q) v_bar)/dq at the frozen primal velocity
+      v_bar — and d(A v_bar)/dq is the Jacobian of the 6-dim centroidal
+      momentum, computed by REVERSE-mode AD (6 cotangent passes through the
+      CMM chain instead of 21 forward tangents; the xyz columns are exact
+      zeros by translation invariance of the momentum about the com).
+    - ``v_j`` rows: q-independent — zero.
+
+    Returns (dq_f1 (30,24), A (6,24), v_bar (24,), Jall (F,6,24)) with Jall
+    the feet[+EE] LWA frame Jacobians (byproducts shared by the constraint
+    and EE rows of the caller).
+    """
+    from ..models import dynamics as dyn
+    from ..models import kinematics as kin
+    from ..models import spatial
+
+    dtype = x.dtype
+    nu = u.shape[-1]
+    q = centroidal.pinocchio_q(x)
+    h = x[0:6]
+    v_j = u[12:30]
+    F = u[0:12].reshape(4, 3)
+    m = jnp.sum(model.body_mass)
+
+    A = dyn.centroidal_momentum_matrix(model, q)
+    rhs = m * h - spatial.fmv(A[:, 6:], v_j)
+    v_b = spatial.solve6_block(A[:, :6], rhs)
+    v_bar = jnp.concatenate([v_b, v_j])
+
+    # d(A v_bar)/dq: 6 cotangents, euler+joint columns only (xyz are exact
+    # zeros — the momentum about the com is translation invariant, and
+    # reverse-mode would only reproduce them as cancellation noise).
+    xyz = q[0:3]
+
+    if sweep == "bf16":
+        # bf16 REVERSE sweep (see the lin_tangents="bf16" note): only the
+        # Jacobian is bf16-derived; every primal stays f32 so the SQP fixed
+        # point is exact.
+        model_s, xyz_s, v_bar_s = _cast_bf16((model, xyz, v_bar))
+
+        def w_fn(q_ej):
+            q_ = jnp.concatenate([xyz_s, q_ej])
+            return dyn.centroidal_momentum_matrix(model_s, q_) @ v_bar_s
+
+        Jw_ej = jax.jacrev(w_fn)(q[3:24].astype(jnp.bfloat16)).astype(dtype)
+    else:
+        def w_fn(q_ej):
+            q_ = jnp.concatenate([xyz, q_ej])
+            return dyn.centroidal_momentum_matrix(model, q_) @ v_bar
+
+        Jw_ej = jax.jacrev(w_fn)(q[3:24])                       # (6, 21)
+    z6_3 = jnp.zeros((6, 3), dtype=dtype)
+    dvb_dq = -spatial.solve6_block(
+        A[:, :6], jnp.concatenate([z6_3, Jw_ej], axis=1))       # (6, 24)
+
+    fids = tuple(model.contact_frame_ids) + (model.ee_frame_id,)
+    Jall = kin.frame_jacobians(model, q, fids)                  # (5, 6, 24)
+    Jcom = A[:3, :] / m
+
+    dh_ang = jnp.zeros((3, 24), dtype=dtype)
+    for i in range(4):
+        dh_ang = dh_ang - spatial.fmm(
+            spatial.skew(F[i]), Jall[i, :3, :] - Jcom) / m
+    if nu == 36:
+        W = u[30:36]
+        dh_ang = dh_ang - spatial.fmm(
+            spatial.skew(W[0:3]), Jall[4, :3, :] - Jcom) / m
+
+    dq_f1 = jnp.concatenate([
+        jnp.zeros((3, 24), dtype=dtype),
+        dh_ang,
+        dvb_dq,
+        jnp.zeros((18, 24), dtype=dtype),
+    ], axis=0)
+    return dq_f1, A, v_bar, Jall
+
+
 def _momentum_velocity_coeffs(model, q, dtype):
     """Linear-structure coefficients of the base velocity at fixed q:
 
@@ -234,7 +331,70 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
         e = _ee_error(model, ocp, x_, stage.ee_pos_ref[k], stage.ee_quat_ref[k])
         return jnp.concatenate([f1, g, e])
 
-    if tangents == "bf16":
+    if tangents in ("analytic", "analytic_bf16"):
+        # Analytic/geometric derivatives: no 21-tangent sweep at all. The
+        # only AD left is (a) 6 REVERSE cotangents through the CMM (inside
+        # _flow_q_jacobian_analytic) and (b) a 21-tangent sweep through the
+        # FK-ONLY foot-velocity chain + a 3-tangent quaternion-error
+        # differential — each a small fraction of the full stage1 graph the
+        # f32/bf16 modes sweep. "analytic" is exact (no bf16 rounding);
+        # "analytic_bf16" additionally runs the two remaining sweeps in
+        # bfloat16 (primals and closed-form rows stay f32, so the SQP fixed
+        # point is exact either way). Equivalence pinned by
+        # tests/test_solver.py::test_analytic_linearization_matches_ad.
+        sweep = "bf16" if tangents == "analytic_bf16" else "f32"
+        dq_f1, _A_cmm, v_bar_frozen, Jall = _flow_q_jacobian_analytic(
+            model, x, u, sweep=sweep)
+        f1 = centroidal.flow_map_any(model, x, u)
+        g0 = cons.velocity_constraint(model, x, u, flags, zref)
+        e = _ee_error(model, ocp, x, stage.ee_pos_ref[k], stage.ee_quat_ref[k])
+
+        # Foot-velocity rows keep a 21-tangent sweep through the FK-ONLY
+        # chain: a closed geometric form (masked cross-product chains over
+        # (foot, joint, joint) world-axis/origin differentials) was derived,
+        # f64-verified, and MEASURED SLOWER on the v5e (6095 vs 6991
+        # solves/s at batch 384) — the (4,18,18,3) per-node cross tensors
+        # materialize comparable HBM bytes to the lean FK sweep and lower
+        # worse (docs/PERF.md round-5 analytic-linearize section).
+        z12_3 = jnp.zeros((12, 3), dtype=dtype)
+
+        if sweep == "bf16":
+            model_s, xyz_s, v_bar_s = _cast_bf16((model, xyz_bar, v_bar_frozen))
+
+            def fv_fn(q_ej):
+                q_ = jnp.concatenate([xyz_s, q_ej])
+                J = kin.frame_jacobians(
+                    model_s, q_, tuple(model.contact_frame_ids))
+                from ..models import spatial as sp
+                return sp.fmv(J[:, :3, :], v_bar_s).reshape(12)
+
+            Jfv_ej = jax.jacfwd(fv_fn)(
+                q_bar[3:24].astype(jnp.bfloat16)).astype(dtype)  # (12, 21)
+        else:
+            def fv_fn(q_ej):
+                q_ = jnp.concatenate([xyz_bar, q_ej])
+                J = kin.frame_jacobians(
+                    model, q_, tuple(model.contact_frame_ids))
+                from ..models import spatial as sp
+                return sp.fmv(J[:, :3, :], v_bar_frozen).reshape(12)
+
+            Jfv_ej = jax.jacfwd(fv_fn)(q_bar[3:24])              # (12, 21)
+        mask_rows = cons.velocity_row_mask(flags)
+        Jlin12 = Jall[:4, :3, :].reshape(12, 24)
+        dvb_dq = dq_f1[6:12]
+        dq_g = mask_rows[:, None] * (
+            jnp.concatenate([z12_3, Jfv_ej], axis=1) + Jlin12[:, :6] @ dvb_dq)
+
+        from ..models import spatial as sp
+        R_ee, _ = kin.ee_pose(model, q_bar)
+        quat_ref = stage.ee_quat_ref[k]
+        eye3 = jnp.eye(3, dtype=dtype)
+        D_ori = jax.jacfwd(lambda t: sp.quat_error_ocs2(
+            sp.rot_to_quat((eye3 + sp.skew(t)) @ R_ee), quat_ref
+        ))(jnp.zeros(3, dtype=dtype))                            # (3, 3)
+        Je_q = jnp.concatenate(
+            [Jall[4, :3, :], D_ori @ Jall[4, 3:6, :]], axis=0)   # (6, 24)
+    elif tangents == "bf16":
         # bf16 TANGENT sweep: the 21-tangent intermediates are ~99% of the
         # linearize stage's HBM bytes (docs/PERF.md roofline) and the step
         # is bandwidth-bound, so halving them converts ~1:1 to throughput.
@@ -266,14 +426,15 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
     else:
         out1, jvp1 = jax.linearize(stage1, q_bar[3:24])
         J1 = jax.vmap(jvp1)(jnp.eye(21, dtype=dtype)).T   # (48, 21)
-    f1, g0, e = out1[:30], out1[30:42], out1[42:48]
     z30_3 = jnp.zeros((30, 3), dtype=dtype)
-    z12_3 = jnp.zeros((12, 3), dtype=dtype)
-    e_xyz = jnp.concatenate(
-        [jnp.eye(3, dtype=dtype), jnp.zeros((3, 3), dtype=dtype)], axis=0)
-    dq_f1 = jnp.concatenate([z30_3, J1[:30]], axis=1)     # (30, 24)
-    dq_g = jnp.concatenate([z12_3, J1[30:42]], axis=1)    # (12, 24)
-    Je_q = jnp.concatenate([e_xyz, J1[42:48]], axis=1)    # (6, 24)
+    if not tangents.startswith("analytic"):
+        f1, g0, e = out1[:30], out1[30:42], out1[42:48]
+        z12_3 = jnp.zeros((12, 3), dtype=dtype)
+        e_xyz = jnp.concatenate(
+            [jnp.eye(3, dtype=dtype), jnp.zeros((3, 3), dtype=dtype)], axis=0)
+        dq_f1 = jnp.concatenate([z30_3, J1[:30]], axis=1)     # (30, 24)
+        dq_g = jnp.concatenate([z12_3, J1[30:42]], axis=1)    # (12, 24)
+        Je_q = jnp.concatenate([e_xyz, J1[42:48]], axis=1)    # (6, 24)
 
     dvb_dh, dvb_dvj = _momentum_velocity_coeffs(model, q_bar, dtype)
     z6_6 = jnp.zeros((6, 6), dtype=dtype)
@@ -309,13 +470,19 @@ def _node_linearization(model, ocp: OcpConfig, stage: StageData, dt, k, x, u, x_
     else:
         xyz2 = q2[0:3]
 
-        def stage2(q_ej):
-            return centroidal.flow_map_any(
-                model, jnp.concatenate([h2, xyz2, q_ej]), u_bar)
+        if tangents.startswith("analytic"):
+            J2q, _, _, _ = _flow_q_jacobian_analytic(
+                model, x2, u_bar,
+                sweep="bf16" if tangents == "analytic_bf16" else "f32")
+            f2 = centroidal.flow_map_any(model, x2, u_bar)
+        else:
+            def stage2(q_ej):
+                return centroidal.flow_map_any(
+                    model, jnp.concatenate([h2, xyz2, q_ej]), u_bar)
 
-        f2, jvp2 = jax.linearize(stage2, q2[3:24])
-        J2q_ej = jax.vmap(jvp2)(jnp.eye(21, dtype=dtype)).T       # (30, 21)
-        J2q = jnp.concatenate([z30_3, J2q_ej], axis=1)            # (30, 24)
+            f2, jvp2 = jax.linearize(stage2, q2[3:24])
+            J2q_ej = jax.vmap(jvp2)(jnp.eye(21, dtype=dtype)).T   # (30, 21)
+            J2q = jnp.concatenate([z30_3, J2q_ej], axis=1)        # (30, 24)
         dvb2_dh, dvb2_dvj = _momentum_velocity_coeffs(model, q2, dtype)
         df2_dh = jnp.concatenate([z6_6, dvb2_dh, z18_6], axis=0)
         df2_dvj = jnp.concatenate(

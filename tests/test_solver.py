@@ -222,6 +222,39 @@ def test_fused_linearization_matches_reference(mpc_setup):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
 
 
+def test_analytic_linearization_matches_ad(mpc_setup):
+    """The analytic/geometric node linearization (lin_tangents="analytic":
+    closed-form momentum-rate and EE rows, 6-cotangent reverse CMM pass,
+    FK-only foot-velocity sweep — no 21-tangent sweep through the full
+    stage-1 graph) must match the AD path to f64 roundoff, for both RK2
+    sensitivity modes."""
+    import jax
+    from qm_door_tpu.solver.transcription import _node_linearization
+
+    model, cfg, ocp, solver, x0, targets = mpc_setup
+    sched = GaitSchedule()
+    sched.insert_template(GAIT_LIBRARY["trot"], 0.0, 3.0)
+    stage = build_stage_data(model, cfg, sched, targets, 0.0)
+    X, U = solver.cold_start(stage, x0)
+    rng_l = np.random.default_rng(5)
+    X = X + jnp.asarray(rng_l.normal(size=X.shape) * 0.01)
+    U = U + jnp.asarray(rng_l.normal(size=U.shape) * 1.0)
+
+    for sens in ("frozen", "rk2"):
+        ad_fn = jax.jit(lambda k, x, u, xn, s=sens: _node_linearization(
+            model, ocp, stage, cfg.sqp.dt, k, x, u, xn,
+            sensitivity=s, tangents="f32"))
+        an_fn = jax.jit(lambda k, x, u, xn, s=sens: _node_linearization(
+            model, ocp, stage, cfg.sqp.dt, k, x, u, xn,
+            sensitivity=s, tangents="analytic"))
+        for k in [0, 7, 40]:
+            ad = ad_fn(k, X[k], U[k], X[k + 1])
+            an = an_fn(k, X[k], U[k], X[k + 1])
+            for a, b in zip(ad, an):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-10)
+
+
 def test_frozen_sensitivity_same_fixed_point(mpc_setup):
     """'frozen' RK2 sensitivity (second-stage Jacobian reused from the first)
     must converge to the same solution as the exact discrete sensitivity:
