@@ -49,6 +49,26 @@ class KfParams(NamedTuple):
     sensor_foot_height: float = 0.01
     swing_inflation: float = 1e4   # multiplies noise for swing-foot rows
     init_cov: float = 0.1
+    # Per-foot slip gate on the leg-odometry VELOCITY rows (round-5 KF-trot
+    # root cause, docs/ROADMAP.md): the velocity measurement assumes stance
+    # feet are stationary, but a creeping/sliding stance foot (tangential
+    # load on the creep-friction plant, ~F_t/c m/s) injects that slip as
+    # phantom base velocity — +-0.24 m/s spikes at gait transitions in the
+    # recorded traces. A foot whose predicted velocity innovation exceeds
+    # ``slip_gate`` m/s gets its 3 velocity rows inflated by
+    # ~(|r|/gate - 1) * slip_inflation, so gross slip is soft-rejected
+    # while clean stance (innovation ~sigma) is untouched.
+    #
+    # DEFAULT OFF (0 disables), shipped as a validated option like the
+    # stiction anchor: measured trade-off (scratch r5 gate sweep) — with
+    # gate 0.15/infl 200 a 0.3 m/s sliding foot drags the base-velocity
+    # estimate 0.0005 m/s instead of 0.075, but the settle-impact transient
+    # (where leg odometry is the CORRECTION for bad IMU integration and
+    # every foot's innovation is large common-mode) degrades 0.11 -> 0.17
+    # m/s peak. Enable for slip-prone plants
+    # (ClosedLoopRunner(kf_params=KfParams(slip_gate=0.15))).
+    slip_gate: float = 0.0
+    slip_inflation: float = 200.0
 
 
 @struct.dataclass
@@ -162,6 +182,16 @@ def kf_step(
 
     H = _h_matrix(dtype)
     r = y - H @ xe_pred
+    # slip gate (see KfParams.slip_gate): soft-reject the velocity rows of
+    # feet whose innovation says they are sliding. Uses the PREDICTED
+    # innovation (no circularity); smooth in r so the step stays
+    # jit/vmap/AD-friendly.
+    if params.slip_gate > 0.0:
+        rv = r[12:24].reshape(4, 3)
+        speed = jnp.sqrt(jnp.sum(rv * rv, axis=-1) + 1e-12)      # (4,)
+        excess = jnp.maximum(speed / params.slip_gate - 1.0, 0.0)
+        infl = 1.0 + params.slip_inflation * excess
+        Rd = Rd.at[12:24].mul(jnp.repeat(infl, 3))
     S = H @ P_pred @ H.T + jnp.diag(Rd)
     K = jnp.linalg.solve(S, H @ P_pred).T           # (18, 28)
     xe_new = xe_pred + K @ r

@@ -58,6 +58,7 @@ class ClosedLoopRunner:
         separated: bool = False,  # separated-system WBC (the reference's ss/ launch set)
         sensor_noise: Optional[dict] = None,
         noise_seed: int = 0,
+        kf_params=None,  # estimation.KfParams override (kalman only)
     ):
         """``sensor_noise`` (kalman estimator only): Gaussian noise std-devs
         injected on the synthesized sensor readings each physics step —
@@ -85,6 +86,7 @@ class ClosedLoopRunner:
                             "enc_q": 5e-4, "enc_v": 0.01}
         self.sensor_noise = sensor_noise
         self.noise_seed = noise_seed
+        self.kf_params = kf_params
 
     def _phase_heights(self, targets, feet_xy, t_now):
         """Terrain-aware per-phase swing heights for the SwingTrajectoryPlanner
@@ -140,7 +142,8 @@ class ClosedLoopRunner:
             from ..estimation import KalmanFilterEstimate
             from ..estimation.base import imu_from_state
 
-            kf = KalmanFilterEstimate(model)
+            kf = (KalmanFilterEstimate(model) if self.kf_params is None
+                  else KalmanFilterEstimate(model, self.kf_params))
             kf.reset(sim.q)
             self._imu_from_state = imu_from_state
             self._noise_rng = np.random.default_rng(self.noise_seed)

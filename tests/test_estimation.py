@@ -108,6 +108,52 @@ def test_kf_static_convergence(model64):
     np.testing.assert_allclose(np.asarray(rbd[3:6]), np.asarray(st.xe[0:3]))
 
 
+def test_kf_slip_gate_rejects_sliding_foot(model64):
+    """A stance foot whose encoders report sliding (the creep-friction
+    phantom-velocity mechanism, docs/ROADMAP.md round-5 KF root cause) must
+    NOT drag the base-velocity estimate when the slip gate is on: the
+    innovation-gated filter soft-rejects that foot's velocity rows, while
+    the ungated filter ingests the slip as phantom base velocity."""
+    model = model64
+    cfg = default_config()
+    x0 = jnp.asarray(cfg.initial_state(), dtype=jnp.float64)
+    q0 = centroidal.pinocchio_q(x0)
+    feet_z = float(jnp.mean(kinematics.contact_positions(model, q0)[:, 2]))
+    q0 = q0.at[2].add(-feet_z)
+
+    # LF leg encoders consistent with the foot sliding at 0.3 m/s in +x
+    # (base truly stationary): vj_leg = J_LF_legcols^+ v_slide
+    J_lf = kinematics.frame_jacobians(
+        model, q0, model.contact_frame_ids)[0, :3, 6:9]
+    v_slide = jnp.array([0.3, 0.0, 0.0], dtype=q0.dtype)
+    vj_leg = jnp.linalg.lstsq(J_lf, v_slide)[0]
+    vj = jnp.zeros(18, dtype=q0.dtype).at[0:3].set(vj_leg)
+
+    zyx, omega_w, acc_body = _imu_from_sim(
+        model, q0, jnp.zeros(24, dtype=q0.dtype), jnp.zeros(3, dtype=q0.dtype)
+    )
+    flags = jnp.ones(4, dtype=q0.dtype)
+    dt = 0.002
+
+    speeds = {}
+    for name, params in [
+        ("gated", KfParams(slip_gate=0.15, slip_inflation=200.0)),
+        ("ungated", KfParams()),  # default: gate off
+    ]:
+        st = kf_init(model, q0, params)
+        for _ in range(200):
+            st, _ = kf_step(
+                model, params, st, zyx, omega_w, acc_body,
+                q0[6:24], vj, flags, dt,
+            )
+        speeds[name] = float(jnp.linalg.norm(st.xe[3:6]))
+
+    # the sliding foot says "base moves at -0.3/4 m/s-ish"; the gate must
+    # keep the estimate an order of magnitude closer to the truth (0)
+    assert speeds["gated"] < 0.02, speeds
+    assert speeds["ungated"] > 4 * speeds["gated"], speeds
+
+
 def test_kf_tracks_sim_settle(model64):
     model = model64
     """PD-hold settle in the contact sim: the KF (fed only IMU + encoders +
